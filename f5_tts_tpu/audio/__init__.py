@@ -1,0 +1,3 @@
+from f5_tts_tpu.audio.mel import MelSpec, log_mel_spectrogram, mel_filters, stft, hanning
+
+__all__ = ["MelSpec", "log_mel_spectrogram", "mel_filters", "stft", "hanning"]

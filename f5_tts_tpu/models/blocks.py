@@ -1,0 +1,350 @@
+"""Neural network blocks for the DiT backbone and duration predictor.
+
+Pure functions over param pytrees. Behavioral parity with reference: dit.py
+(blocks) and convnext_v2.py; re-designed as stateless functions so the DiT
+backbone can stack per-layer params and run the depth dimension under
+`lax.scan` (one compiled block body instead of 22 unrolled copies).
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+from f5_tts_tpu.ops.attention import scaled_dot_product_attention
+from f5_tts_tpu.utils.modules import (
+    Params,
+    conv1d,
+    conv1d_init,
+    embedding,
+    embedding_init,
+    gelu,
+    layer_norm,
+    layer_norm_init,
+    linear,
+    linear_init,
+    mish,
+)
+from f5_tts_tpu.models.rope import (
+    apply_rotary_pos_emb,
+    get_pos_embed_indices,
+    precompute_freqs_cis,
+)
+
+
+def _as_batch_flag(flag, batch: int) -> jax.Array:
+    """Normalize a drop flag (python bool, scalar, or [b] array) to bool [b].
+
+    Per-sample flags are what make batched CFG possible: the conditional and
+    unconditional streams run as one 2B-batch forward (the reference instead
+    calls the transformer twice, cfm.py:342-363).
+    """
+    flag = jnp.asarray(flag)
+    if flag.ndim == 0:
+        flag = jnp.broadcast_to(flag, (batch,))
+    return flag.astype(bool)
+
+
+# ------------------------------------------------------------ timestep embed
+
+
+def timestep_embedding_init(key, dim: int, freq_embed_dim: int = 256) -> Params:
+    k1, k2 = jax.random.split(key)
+    return {
+        "mlp1": linear_init(k1, freq_embed_dim, dim),
+        "mlp2": linear_init(k2, dim, dim),
+    }
+
+
+def sinus_position_embedding(x: jax.Array, dim: int, scale: float = 1000.0) -> jax.Array:
+    """Sinusoidal embedding, [sin|cos] concat (reference: dit.py:56-67)."""
+    half_dim = dim // 2
+    emb = math.log(10000) / (half_dim - 1)
+    emb = jnp.exp(jnp.arange(half_dim, dtype=jnp.float32) * -emb)
+    emb = scale * x.astype(jnp.float32)[:, None] * emb[None, :]
+    return jnp.concatenate([jnp.sin(emb), jnp.cos(emb)], axis=-1)
+
+
+def timestep_embedding(p: Params, timestep: jax.Array, freq_embed_dim: int = 256, dtype=jnp.float32) -> jax.Array:
+    """t [b] -> [b, dim] (reference: dit.py:73-82)."""
+    h = sinus_position_embedding(timestep, freq_embed_dim).astype(dtype)
+    return linear(p["mlp2"], jax.nn.silu(linear(p["mlp1"], h)))
+
+
+# ------------------------------------------------------------ conv pos embed
+
+
+def conv_position_embedding_init(key, dim: int, kernel_size: int = 31, groups: int = 16) -> Params:
+    k1, k2 = jax.random.split(key)
+    return {
+        "conv1": conv1d_init(k1, dim, dim, kernel_size, groups=groups),
+        "conv2": conv1d_init(k2, dim, dim, kernel_size, groups=groups),
+    }
+
+
+def conv_position_embedding(
+    p: Params, x: jax.Array, mask: jax.Array | None = None, groups: int = 16
+) -> jax.Array:
+    """Two grouped conv1d + Mish, mask-aware (reference: dit.py:29-50)."""
+    if mask is not None:
+        x = x * mask[..., None]
+    out = mish(conv1d(p["conv1"], x, groups=groups))
+    out = mish(conv1d(p["conv2"], out, groups=groups))
+    if mask is not None:
+        out = out * mask[..., None]
+    return out
+
+
+# ------------------------------------------------------------ ConvNeXt V2
+
+
+def convnext_v2_block_init(key, dim: int, intermediate_dim: int) -> Params:
+    k1, k2, k3 = jax.random.split(key, 3)
+    return {
+        "dwconv": conv1d_init(k1, dim, dim, 7, groups=dim),
+        "norm": layer_norm_init(dim),
+        "pwconv1": linear_init(k2, dim, intermediate_dim),
+        "grn": {"gamma": jnp.zeros((1, 1, intermediate_dim)), "beta": jnp.zeros((1, 1, intermediate_dim))},
+        "pwconv2": linear_init(k3, intermediate_dim, dim),
+    }
+
+
+def grn(p: Params, x: jax.Array) -> jax.Array:
+    """Global response normalization over the sequence axis
+    (reference: convnext_v2.py:9-18)."""
+    gx = jnp.sqrt(jnp.sum(jnp.square(x.astype(jnp.float32)), axis=1, keepdims=True))
+    nx = gx / (gx.mean(axis=-1, keepdims=True) + 1e-6)
+    nx = nx.astype(x.dtype)
+    return p["gamma"].astype(x.dtype) * (x * nx) + p["beta"].astype(x.dtype) + x
+
+
+def convnext_v2_block(p: Params, x: jax.Array, dilation: int = 1) -> jax.Array:
+    """dwconv k7 -> LN -> pwconv -> GELU -> GRN -> pwconv -> residual
+    (reference: convnext_v2.py:24-54)."""
+    dim = x.shape[-1]
+    residual = x
+    padding = (dilation * (7 - 1)) // 2
+    x = conv1d(p["dwconv"], x, groups=dim, padding=padding, dilation=dilation)
+    x = layer_norm(x, p["norm"], eps=1e-6)
+    x = linear(p["pwconv1"], x)
+    x = gelu(x, approximate=False)
+    x = grn(p["grn"], x)
+    x = linear(p["pwconv2"], x)
+    return residual + x
+
+
+# ------------------------------------------------------------ text embedding
+
+
+def text_embedding_init(
+    key,
+    text_num_embeds: int,
+    text_dim: int,
+    conv_layers: int = 0,
+    conv_mult: int = 2,
+    max_pos: int = 4096,
+) -> Params:
+    keys = jax.random.split(key, conv_layers + 1)
+    p: Params = {"embed": embedding_init(keys[0], text_num_embeds + 1, text_dim)}
+    if conv_layers > 0:
+        # Absolute sin/cos table, stored as a non-trainable constant leaf
+        # (reference: dit.py:190-191).
+        p["freqs_cis"] = jnp.asarray(precompute_freqs_cis(text_dim, max_pos))
+        p["blocks"] = [
+            convnext_v2_block_init(keys[i + 1], text_dim, text_dim * conv_mult)
+            for i in range(conv_layers)
+        ]
+    return p
+
+
+def text_embedding(
+    p: Params,
+    text: jax.Array,  # [b, nt] int ids, padded with -1
+    seq_len: int,
+    drop_text=False,
+    mask_padding: bool = True,
+    max_pos: int = 4096,
+    dtype=jnp.float32,
+) -> jax.Array:
+    """Text ids -> [b, seq_len, text_dim] (reference: dit.py:181-229).
+
+    Semantics preserved exactly: +1 shift so -1 padding becomes filler token 0,
+    truncate/pad to the mel sequence length, CFG text drop zeroes the *shifted
+    ids* (so dropped text embeds the filler token), absolute positions from the
+    precomputed table, ConvNeXt blocks with padding re-zeroed after each block.
+    """
+    batch, text_len = text.shape
+    text = text + 1
+    text = text[:, :seq_len]
+    if seq_len > text_len:
+        text = jnp.pad(text, ((0, 0), (0, seq_len - text_len)), constant_values=0)
+
+    text_mask = (text == 0)[..., None]  # [b, n, 1]; True = filler/padding
+
+    drop = _as_batch_flag(drop_text, batch)
+    text = jnp.where(drop[:, None], jnp.zeros_like(text), text)
+    x = embedding(p["embed"], text, dtype=dtype)
+
+    if "blocks" in p:
+        batch_start = jnp.zeros((batch,), dtype=jnp.int32)
+        pos_idx = get_pos_embed_indices(batch_start, seq_len, max_pos=max_pos)
+        x = x + p["freqs_cis"].astype(dtype)[pos_idx]
+
+        if mask_padding:
+            x = jnp.where(text_mask, 0.0, x)
+            for block_p in p["blocks"]:
+                x = convnext_v2_block(block_p, x)
+                x = jnp.where(text_mask, 0.0, x)
+        else:
+            for block_p in p["blocks"]:
+                x = convnext_v2_block(block_p, x)
+    return x
+
+
+# ------------------------------------------------------------ input embedding
+
+
+def input_embedding_init(key, mel_dim: int, text_dim: int, out_dim: int) -> Params:
+    k1, k2 = jax.random.split(key)
+    return {
+        "proj": linear_init(k1, mel_dim * 2 + text_dim, out_dim),
+        "conv_pos_embed": conv_position_embedding_init(k2, out_dim),
+    }
+
+
+def input_embedding(
+    p: Params,
+    x: jax.Array,  # [b, n, mel]
+    cond: jax.Array,  # [b, n, mel]
+    text_embed: jax.Array,  # [b, n, text_dim]
+    drop_audio_cond=False,
+) -> jax.Array:
+    """concat -> proj -> conv pos embed residual (reference: dit.py:235-252)."""
+    batch = x.shape[0]
+    drop = _as_batch_flag(drop_audio_cond, batch)
+    cond = jnp.where(drop[:, None, None], jnp.zeros_like(cond), cond)
+    x = linear(p["proj"], jnp.concatenate([x, cond, text_embed], axis=-1))
+    return conv_position_embedding(p["conv_pos_embed"], x) + x
+
+
+# ------------------------------------------------------------ attention
+
+
+def attention_init(key, dim: int, heads: int, dim_head: int) -> Params:
+    inner = heads * dim_head
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    return {
+        "to_q": linear_init(k1, dim, inner),
+        "to_k": linear_init(k2, dim, inner),
+        "to_v": linear_init(k3, dim, inner),
+        "to_out": linear_init(k4, inner, dim),
+    }
+
+
+def attention(
+    p: Params,
+    x: jax.Array,  # [b, n, dim]
+    heads: int,
+    mask: jax.Array | None = None,  # [b, n] bool padding mask
+    rope_freqs: jax.Array | None = None,  # [n, dim_head]
+    use_flash: bool = True,
+) -> jax.Array:
+    """Non-causal MHA with RoPE and key-padding mask (reference: dit.py:105-175).
+
+    Matches the reference's semantics: scale 1/sqrt(dim_head), mask broadcast
+    over queries (keys masked only), output rows re-zeroed by the mask.
+    """
+    b, n, _ = x.shape
+    q = linear(p["to_q"], x).reshape(b, n, heads, -1).transpose(0, 2, 1, 3)
+    k = linear(p["to_k"], x).reshape(b, n, heads, -1).transpose(0, 2, 1, 3)
+    v = linear(p["to_v"], x).reshape(b, n, heads, -1).transpose(0, 2, 1, 3)
+
+    if rope_freqs is not None:
+        q = apply_rotary_pos_emb(q, rope_freqs)
+        k = apply_rotary_pos_emb(k, rope_freqs)
+
+    scale = 1.0 / math.sqrt(q.shape[-1])
+    out = scaled_dot_product_attention(q, k, v, scale, key_mask=mask, use_flash=use_flash)
+    out = out.transpose(0, 2, 1, 3).reshape(b, n, -1)
+    out = linear(p["to_out"], out)
+    if mask is not None:
+        out = out * mask[..., None].astype(out.dtype)
+    return out
+
+
+# ------------------------------------------------------------ feed forward
+
+
+def feed_forward_init(key, dim: int, mult: int = 4, dim_out: int | None = None) -> Params:
+    inner = int(dim * mult)
+    dim_out = dim if dim_out is None else dim_out
+    k1, k2 = jax.random.split(key)
+    return {"w1": linear_init(k1, dim, inner), "w2": linear_init(k2, inner, dim_out)}
+
+
+def feed_forward(p: Params, x: jax.Array) -> jax.Array:
+    """Linear -> GELU(tanh) -> Linear (reference: dit.py:88-99)."""
+    return linear(p["w2"], gelu(linear(p["w1"], x), approximate=True))
+
+
+# ------------------------------------------------------------ AdaLN-Zero
+
+
+def adaln_zero_init(key, dim: int) -> Params:
+    return {"linear": linear_init(key, dim, dim * 6)}
+
+
+def adaln_zero(p: Params, x: jax.Array, emb: jax.Array):
+    """time-emb -> SiLU -> Linear(6*dim) -> (modulated x, gates/shifts)
+    (reference: dit.py:259-271). Split order: shift_msa, scale_msa, gate_msa,
+    shift_mlp, scale_mlp, gate_mlp.
+    """
+    mod = linear(p["linear"], jax.nn.silu(emb))
+    shift_msa, scale_msa, gate_msa, shift_mlp, scale_mlp, gate_mlp = jnp.split(mod, 6, axis=-1)
+    x = layer_norm(x, None, eps=1e-6) * (1 + scale_msa[:, None]) + shift_msa[:, None]
+    return x, gate_msa, shift_mlp, scale_mlp, gate_mlp
+
+
+def adaln_zero_final_init(key, dim: int) -> Params:
+    return {"linear": linear_init(key, dim, dim * 2)}
+
+
+def adaln_zero_final(p: Params, x: jax.Array, emb: jax.Array) -> jax.Array:
+    """Final modulation: scale/shift only; split order scale, shift
+    (reference: dit.py:278-290)."""
+    mod = linear(p["linear"], jax.nn.silu(emb))
+    scale, shift = jnp.split(mod, 2, axis=-1)
+    return layer_norm(x, None, eps=1e-6) * (1 + scale[:, None]) + shift[:, None]
+
+
+# ------------------------------------------------------------ DiT block
+
+
+def dit_block_init(key, dim: int, heads: int, dim_head: int, ff_mult: int) -> Params:
+    k1, k2, k3 = jax.random.split(key, 3)
+    return {
+        "attn_norm": adaln_zero_init(k1, dim),
+        "attn": attention_init(k2, dim, heads, dim_head),
+        "ff": feed_forward_init(k3, dim, mult=ff_mult),
+    }
+
+
+def dit_block(
+    p: Params,
+    x: jax.Array,
+    t: jax.Array,  # [b, dim] time embedding
+    heads: int,
+    mask: jax.Array | None = None,
+    rope_freqs: jax.Array | None = None,
+    use_flash: bool = True,
+) -> jax.Array:
+    """AdaLN-Zero -> attention -> gated residual -> modulated FF -> gated
+    residual (reference: dit.py:296-325)."""
+    norm, gate_msa, shift_mlp, scale_mlp, gate_mlp = adaln_zero(p["attn_norm"], x, t)
+    attn_out = attention(p["attn"], norm, heads, mask=mask, rope_freqs=rope_freqs, use_flash=use_flash)
+    x = x + gate_msa[:, None] * attn_out
+    norm = layer_norm(x, None, eps=1e-6) * (1 + scale_mlp[:, None]) + shift_mlp[:, None]
+    x = x + gate_mlp[:, None] * feed_forward(p["ff"], norm)
+    return x

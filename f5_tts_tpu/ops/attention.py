@@ -1,0 +1,50 @@
+"""Scaled dot-product attention for TPU.
+
+The reference delegates to MLX's fused Metal kernel
+(`mx.fast.scaled_dot_product_attention`, reference: dit.py:166). Here the hot
+path is a Pallas flash-attention kernel (ops/flash_attention.py) with an XLA
+fallback; both are non-causal with an optional key padding mask, which is the
+only masking the model needs (reference: dit.py:160-166).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def sdpa_reference(
+    q: jax.Array,  # [b, h, n, d]
+    k: jax.Array,  # [b, h, n, d]
+    v: jax.Array,  # [b, h, n, d]
+    scale: float,
+    key_mask: jax.Array | None = None,  # [b, n] bool, True = keep
+) -> jax.Array:
+    """XLA attention: softmax in float32, output in input dtype."""
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(jnp.float32) * scale
+    if key_mask is not None:
+        neg = jnp.finfo(jnp.float32).min
+        logits = jnp.where(key_mask[:, None, None, :], logits, neg)
+    probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+
+
+def scaled_dot_product_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    scale: float,
+    key_mask: jax.Array | None = None,
+    use_flash: bool = True,
+) -> jax.Array:
+    """Dispatch to the Pallas flash kernel on TPU when shapes allow, else the
+    XLA fallback."""
+    if use_flash:
+        try:
+            from f5_tts_tpu.ops.flash_attention import flash_attention, flash_supported
+
+            if flash_supported(q):
+                return flash_attention(q, k, v, scale=scale, key_mask=key_mask)
+        except ImportError:
+            pass
+    return sdpa_reference(q, k, v, scale, key_mask)

@@ -1,0 +1,134 @@
+"""Minimal functional NN primitives over parameter pytrees.
+
+The model core is pure-functional: parameters live in nested dicts of
+`jnp.ndarray` leaves, and these helpers implement the forward math. This keeps
+jit/scan/shard_map trivially applicable and makes the PyTorch->JAX weight
+mapping explicit (see models/convert.py).
+
+Layout conventions (differ from torch on purpose, for MXU-friendly layouts):
+  - linear kernel:   [d_in, d_out]       (torch: [d_out, d_in])
+  - conv1d kernel:   [k, in/groups, out] (torch: [out, in/groups, k])
+  - embedding table: [vocab, dim]        (same as torch)
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+Params = dict
+
+
+# ---------------------------------------------------------------- init helpers
+
+
+def _uniform(key, shape, bound, dtype=jnp.float32):
+    return jax.random.uniform(key, shape, dtype, minval=-bound, maxval=bound)
+
+
+def linear_init(key, d_in: int, d_out: int, bias: bool = True) -> Params:
+    """Matches torch/MLX nn.Linear default init: U(-1/sqrt(d_in), 1/sqrt(d_in))."""
+    kkey, bkey = jax.random.split(key)
+    bound = 1.0 / math.sqrt(d_in)
+    p = {"kernel": _uniform(kkey, (d_in, d_out), bound)}
+    if bias:
+        p["bias"] = _uniform(bkey, (d_out,), bound)
+    return p
+
+
+def linear(p: Params, x: jax.Array) -> jax.Array:
+    y = x @ p["kernel"].astype(x.dtype)
+    if "bias" in p:
+        y = y + p["bias"].astype(x.dtype)
+    return y
+
+
+def embedding_init(key, vocab: int, dim: int) -> Params:
+    return {"embedding": jax.random.normal(key, (vocab, dim)) * 1.0}
+
+
+def embedding(p: Params, ids: jax.Array, dtype=None) -> jax.Array:
+    table = p["embedding"]
+    if dtype is not None:
+        table = table.astype(dtype)
+    return jnp.take(table, ids, axis=0)
+
+
+def layer_norm_init(dim: int) -> Params:
+    return {"scale": jnp.ones((dim,)), "bias": jnp.zeros((dim,))}
+
+
+def layer_norm(x: jax.Array, p: Params | None = None, eps: float = 1e-6) -> jax.Array:
+    """LayerNorm over the last axis; affine iff params given. Statistics are
+    computed in float32 for bf16 stability."""
+    xf = x.astype(jnp.float32)
+    mean = xf.mean(axis=-1, keepdims=True)
+    var = ((xf - mean) ** 2).mean(axis=-1, keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    y = y.astype(x.dtype)
+    if p is not None:
+        y = y * p["scale"].astype(x.dtype) + p["bias"].astype(x.dtype)
+    return y
+
+
+def rms_norm_init(dim: int) -> Params:
+    return {"scale": jnp.ones((dim,))}
+
+
+def rms_norm(x: jax.Array, p: Params, eps: float = 1e-5) -> jax.Array:
+    xf = x.astype(jnp.float32)
+    y = xf * jax.lax.rsqrt((xf * xf).mean(axis=-1, keepdims=True) + eps)
+    return (y.astype(x.dtype)) * p["scale"].astype(x.dtype)
+
+
+def conv1d_init(
+    key, d_in: int, d_out: int, kernel_size: int, groups: int = 1, bias: bool = True
+) -> Params:
+    """Matches torch nn.Conv1d default init: U(-k, k), k=1/sqrt(in/groups * ks)."""
+    kkey, bkey = jax.random.split(key)
+    fan_in = (d_in // groups) * kernel_size
+    bound = 1.0 / math.sqrt(fan_in)
+    p = {"kernel": _uniform(kkey, (kernel_size, d_in // groups, d_out), bound)}
+    if bias:
+        p["bias"] = _uniform(bkey, (d_out,), bound)
+    return p
+
+
+def conv1d(
+    p: Params,
+    x: jax.Array,
+    groups: int = 1,
+    padding: int | str = "SAME",
+    dilation: int = 1,
+) -> jax.Array:
+    """1D convolution on [b, n, c] inputs via lax.conv_general_dilated
+    (the TPU-native lowering of the reference's grouped/depthwise nn.Conv1d,
+    reference: dit.py:34-36, convnext_v2.py:35-37)."""
+    kernel = p["kernel"].astype(x.dtype)
+    if isinstance(padding, int):
+        padding = [(padding, padding)]
+    y = jax.lax.conv_general_dilated(
+        x,
+        kernel,
+        window_strides=(1,),
+        padding=padding,
+        rhs_dilation=(dilation,),
+        dimension_numbers=("NHC", "HIO", "NHC"),
+        feature_group_count=groups,
+    )
+    if "bias" in p:
+        y = y + p["bias"].astype(x.dtype)
+    return y
+
+
+# ---------------------------------------------------------------- activations
+
+
+def mish(x: jax.Array) -> jax.Array:
+    return x * jnp.tanh(jax.nn.softplus(x))
+
+
+def gelu(x: jax.Array, approximate: bool = False) -> jax.Array:
+    return jax.nn.gelu(x, approximate=approximate)
