@@ -1,0 +1,342 @@
+"""Generation API, CLI, and live playback.
+
+Behavioral parity with reference: generate.py (flag surface, sentence
+splitting, duration heuristic, RMS normalization, ref-audio trimming,
+streaming playback). One TPU-idiomatic upgrade: when not streaming to a live
+audio device, multi-sentence requests are BATCHED through a single pjit-able
+forward instead of a Python loop over sentences (reference: generate.py:199-244
+loops; see SURVEY.md §5 long-context row).
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime
+import re
+import sys
+from collections import deque
+from importlib import resources
+from threading import Event, Lock
+from typing import Literal, Optional
+
+import numpy as np
+
+from f5_tts_tpu.audio.io import read_wav, write_wav
+from f5_tts_tpu.utils.tokenizer import convert_char_to_pinyin
+
+SAMPLE_RATE = 24_000
+HOP_LENGTH = 256
+FRAMES_PER_SEC = SAMPLE_RATE / HOP_LENGTH
+TARGET_RMS = 0.1
+
+DEFAULT_REF_TEXT = "Some call me nature, others call me mother nature."
+
+
+# ------------------------------------------------------------------ utilities
+
+
+def split_sentences(text: str) -> list[str]:
+    """Split on sentence-final punctuation, keeping the delimiter
+    (reference: generate.py:30-36)."""
+    parts = re.compile(r"([.!?;:])").split(text)
+    sentences = [parts[i] + parts[i + 1] for i in range(0, len(parts) - 1, 2)]
+    return [s.strip() for s in sentences if s.strip()]
+
+
+def estimated_duration(ref_audio: np.ndarray, ref_text: str, gen_text: str, speed: float = 1.0) -> float:
+    """Byte-length-ratio duration heuristic with ZH pause-punct weighting
+    (reference: generate.py:104-111). Returns seconds."""
+    ref_audio_len = ref_audio.shape[0] // HOP_LENGTH
+    zh_pause_punc = r"。，、；：？！"
+    ref_text_len = len(ref_text.encode("utf-8")) + 3 * len(re.findall(zh_pause_punc, ref_text))
+    gen_text_len = len(gen_text.encode("utf-8")) + 3 * len(re.findall(zh_pause_punc, gen_text))
+    duration_in_frames = ref_audio_len + int(ref_audio_len / ref_text_len * gen_text_len / speed)
+    return duration_in_frames / FRAMES_PER_SEC
+
+
+# ------------------------------------------------------------------ playback
+
+
+class AudioPlayer:
+    """Threaded ring-buffer player over a sounddevice OutputStream
+    (reference: generate.py:42-99). Host-side; requires the optional
+    `sounddevice` dependency."""
+
+    def __init__(self, sample_rate: int = 24_000, buffer_size: int = 2048):
+        import sounddevice as sd  # gated optional dependency
+
+        self._sd = sd
+        self.sample_rate = sample_rate
+        self.buffer_size = buffer_size
+        self.audio_buffer: deque[np.ndarray] = deque()
+        self.buffer_lock = Lock()
+        self.playing = False
+        self.drain_event = Event()
+
+    def _callback(self, outdata, frames, time, status):
+        with self.buffer_lock:
+            outdata[:, 0] = np.zeros(frames)
+            if self.audio_buffer:
+                available = min(frames, len(self.audio_buffer[0]))
+                chunk = self.audio_buffer[0][:available].copy()
+                self.audio_buffer[0] = self.audio_buffer[0][available:]
+                if len(self.audio_buffer[0]) == 0:
+                    self.audio_buffer.popleft()
+                    if not self.audio_buffer:
+                        self.drain_event.set()
+                outdata[:available, 0] = chunk
+            else:
+                self.drain_event.set()
+
+    def play(self):
+        if not self.playing:
+            self.stream = self._sd.OutputStream(
+                samplerate=self.sample_rate,
+                channels=1,
+                callback=self._callback,
+                blocksize=self.buffer_size,
+            )
+            self.stream.start()
+            self.playing = True
+            self.drain_event.clear()
+
+    def queue_audio(self, samples):
+        self.drain_event.clear()
+        with self.buffer_lock:
+            self.audio_buffer.append(np.asarray(samples))
+        if not self.playing:
+            self.play()
+
+    def wait_for_drain(self):
+        return self.drain_event.wait()
+
+    def stop(self):
+        if self.playing:
+            self.wait_for_drain()
+            self._sd.sleep(100)
+            self.stream.stop()
+            self.stream.close()
+            self.playing = False
+
+
+# ------------------------------------------------------------------ generation
+
+
+def _load_ref_audio(ref_audio_path: Optional[str], ref_audio_text: Optional[str]):
+    if ref_audio_path is None:
+        wav_path = resources.files("f5_tts_tpu").joinpath("assets/test_en_1_ref_short.wav")
+        with resources.as_file(wav_path) as p:
+            audio, sr = read_wav(p)
+        ref_audio_text = ref_audio_text or DEFAULT_REF_TEXT
+    else:
+        audio, sr = read_wav(ref_audio_path)
+        if sr != SAMPLE_RATE:
+            raise ValueError("Reference audio must have a sample rate of 24kHz")
+    if audio.ndim > 1:
+        audio = audio.mean(axis=-1)
+    return audio.astype(np.float32), ref_audio_text
+
+
+def generate(
+    generation_text: str,
+    duration: Optional[float] = None,
+    estimate_duration: bool = False,
+    model_name: str = "lucasnewman/f5-tts-mlx",
+    ref_audio_path: Optional[str] = None,
+    ref_audio_text: Optional[str] = None,
+    steps: int = 8,
+    method: Literal["euler", "midpoint", "rk4"] = "rk4",
+    cfg_strength: float = 2.0,
+    sway_sampling_coef: float = -1.0,
+    speed: float = 1.0,
+    seed: Optional[int] = None,
+    quantization_bits: Optional[int] = None,
+    output_path: Optional[str] = None,
+    model=None,
+    play: Optional[bool] = None,
+) -> np.ndarray:
+    """End-to-end synthesis (reference: generate.py:113-244). Returns the
+    generated waveform (reference audio trimmed off). Pass `model` to reuse a
+    loaded F5TTS across calls."""
+    import jax.numpy as jnp
+
+    from f5_tts_tpu.models.cfm import F5TTS
+
+    if play is None:
+        play = output_path is None
+    player = AudioPlayer(sample_rate=SAMPLE_RATE) if play else None
+
+    if model is None:
+        model = F5TTS.from_pretrained(model_name, quantization_bits=quantization_bits)
+
+    audio, ref_audio_text = _load_ref_audio(ref_audio_path, ref_audio_text)
+    ref_audio_duration = audio.shape[0] / SAMPLE_RATE
+    print(f"Got reference audio with duration: {ref_audio_duration:.2f} seconds")
+
+    rms = float(np.sqrt(np.mean(np.square(audio))))
+    if rms < TARGET_RMS:
+        audio = audio * TARGET_RMS / rms
+
+    sentences = split_sentences(generation_text)
+    is_single = len(sentences) <= 1 or duration is not None
+    start_date = datetime.datetime.now()
+
+    def synth_one(text_piece: str, dur_frames):
+        text = convert_char_to_pinyin([ref_audio_text + " " + text_piece])
+        wave, _ = model.sample(
+            jnp.asarray(audio)[None, :],
+            text=text,
+            duration=dur_frames,
+            steps=steps,
+            method=method,
+            speed=speed,
+            cfg_strength=cfg_strength,
+            sway_sampling_coef=sway_sampling_coef,
+            seed=seed,
+        )
+        return np.asarray(wave)[audio.shape[0] :]
+
+    if is_single:
+        dur_frames = None
+        if duration is not None:
+            dur_frames = int(duration * FRAMES_PER_SEC)
+        elif estimate_duration:
+            dur_frames = int(
+                estimated_duration(audio, ref_audio_text, generation_text, speed) * FRAMES_PER_SEC
+            )
+        wave = synth_one(generation_text, dur_frames)
+        if player is not None:
+            player.queue_audio(wave)
+    elif player is not None:
+        # streaming path: sequential per-sentence synthesis, queued live
+        out = []
+        for sentence in sentences:
+            dur_frames = None
+            if estimate_duration:
+                dur_frames = int(
+                    estimated_duration(audio, ref_audio_text, sentence, speed) * FRAMES_PER_SEC
+                )
+            piece = synth_one(sentence, dur_frames)
+            out.append(piece)
+            player.queue_audio(piece)
+        wave = np.concatenate(out, axis=0)
+    else:
+        # batched path: all sentences in one forward (one jit, batch=B)
+        texts = convert_char_to_pinyin([ref_audio_text + " " + s for s in sentences])
+        cond = jnp.broadcast_to(jnp.asarray(audio)[None, :], (len(sentences), audio.shape[0]))
+        cond_mel = model._mel_spec(cond)
+        ref_frames = cond_mel.shape[1]
+
+        text_ids = model._tokenize(texts)
+        if estimate_duration or model._duration_predictor is None:
+            durations = np.array(
+                [
+                    int(estimated_duration(audio, ref_audio_text, s, speed) * FRAMES_PER_SEC)
+                    for s in sentences
+                ],
+                dtype=np.int32,
+            )
+        else:
+            durations = np.asarray(model.predict_duration(cond_mel, jnp.asarray(text_ids), speed))
+        # replicate sample()'s duration clamp so each piece can be trimmed
+        # (reference: cfm.py:301-318)
+        text_lens = (text_ids != -1).sum(axis=-1)
+        lens = np.maximum(text_lens, ref_frames)
+        durations = np.clip(np.maximum(lens + 1, durations), 0, model.cfm_cfg.max_duration)
+
+        waves, _ = model.sample(
+            cond_mel,
+            text=jnp.asarray(text_ids),
+            duration=durations,
+            steps=steps,
+            method=method,
+            speed=speed,
+            cfg_strength=cfg_strength,
+            sway_sampling_coef=sway_sampling_coef,
+            seed=seed,
+        )
+        waves = np.asarray(waves)
+        pieces = []
+        for i in range(len(sentences)):
+            end = min((int(durations[i]) - 1) * HOP_LENGTH, waves.shape[1])
+            pieces.append(waves[i, ref_frames * HOP_LENGTH : end])
+        wave = np.concatenate(pieces, axis=0)
+
+    generated_duration = wave.shape[0] / SAMPLE_RATE
+    print(f"Generated {generated_duration:.2f}s of audio in {datetime.datetime.now() - start_date}.")
+
+    if output_path is not None:
+        write_wav(output_path, wave, SAMPLE_RATE)
+    if player is not None:
+        player.stop()
+    return wave
+
+
+# ------------------------------------------------------------------ CLI
+
+
+def build_parser() -> argparse.ArgumentParser:
+    """Flag surface kept identical to the reference CLI
+    (reference: generate.py:248-338)."""
+    parser = argparse.ArgumentParser(description="Generate audio from text using f5-tts-tpu")
+    parser.add_argument("--model", type=str, default="lucasnewman/f5-tts-mlx",
+                        help="Name of the model to use")
+    parser.add_argument("--text", type=str, default=None,
+                        help="Text to generate speech from (leave blank to input via stdin)")
+    parser.add_argument("--duration", type=float, default=None,
+                        help="Duration of the generated audio in seconds")
+    parser.add_argument("--estimate-duration", type=bool, default=False,
+                        help="Estimate duration with a text-length heuristic instead of the duration predictor model")
+    parser.add_argument("--ref-audio", type=str, default=None,
+                        help="Path to the reference audio file")
+    parser.add_argument("--ref-text", type=str, default=None,
+                        help="Text spoken in the reference audio")
+    parser.add_argument("--output", type=str, default=None,
+                        help="Path to save the generated audio output")
+    parser.add_argument("--steps", type=int, default=8,
+                        help="Number of steps to take when sampling the neural ODE")
+    parser.add_argument("--method", type=str, default="rk4", choices=["euler", "midpoint", "rk4"],
+                        help="Method to use for sampling the neural ODE")
+    parser.add_argument("--cfg", type=float, default=2.0,
+                        help="Strength of classifier free guidance")
+    parser.add_argument("--sway-coef", type=float, default=-1.0,
+                        help="Coefficient for sway sampling")
+    parser.add_argument("--speed", type=float, default=1.0,
+                        help="Speed factor for the duration heuristic")
+    parser.add_argument("--seed", type=int, default=None,
+                        help="Seed for noise generation")
+    parser.add_argument("--q", type=int, default=None,
+                        help="Number of bits to use for quantization. 4 and 8 are supported.")
+    return parser
+
+
+def main(argv: list[str] | None = None):
+    args = build_parser().parse_args(argv)
+
+    if args.text is None:
+        if not sys.stdin.isatty():
+            args.text = sys.stdin.read().strip()
+        else:
+            print("Please enter the text to generate:")
+            args.text = input("> ").strip()
+
+    generate(
+        generation_text=args.text,
+        duration=args.duration,
+        estimate_duration=args.estimate_duration,
+        model_name=args.model,
+        ref_audio_path=args.ref_audio,
+        ref_audio_text=args.ref_text,
+        steps=args.steps,
+        method=args.method,
+        cfg_strength=args.cfg,
+        sway_sampling_coef=args.sway_coef,
+        speed=args.speed,
+        seed=args.seed,
+        quantization_bits=args.q,
+        output_path=args.output,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,453 @@
+"""Checkpoint conversion: PyTorch-EMA / MLX safetensors -> JAX param pytrees.
+
+The published F5-TTS weights (`lucasnewman/f5-tts-mlx`) are PyTorch-EMA
+flat dicts; the duration model and the MLX vocos weights use MLX module
+naming. The reference documents the torch->MLX mapping at cfm.py:477-508;
+this module re-derives the mapping for the JAX tree defined in
+models/dit.py / models/duration.py / models/vocos.py.
+
+Key normalization trick: MLX inserts ".layers." into Sequential paths where
+torch uses bare indices (reference: cfm.py:486-496); stripping ".layers."
+makes both naming schemes identical, so one mapping handles either source.
+
+Layout conversions:
+  - linear:  [out, in]            -> kernel [in, out]        (transpose)
+  - conv1d:  torch [out, in/g, k] -> kernel [k, in/g, out]
+             MLX   [out, k, in/g] -> kernel [k, in/g, out]
+    (disambiguated per-tensor by the known kernel size)
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import jax.numpy as jnp
+import numpy as np
+
+from f5_tts_tpu.config import (
+    DURATION_V2,
+    F5TTS_V1_BASE,
+    AudioConfig,
+    CFMConfig,
+    DiTConfig,
+    DurationConfig,
+    VocosConfig,
+)
+from f5_tts_tpu.models.dit import stack_block_params
+from f5_tts_tpu.utils.hub import fetch_from_hub
+from f5_tts_tpu.utils.modules import Params
+
+
+# ----------------------------------------------------------------- primitives
+
+
+class _State:
+    """A consumable view of a flat checkpoint dict with normalized keys."""
+
+    def __init__(
+        self,
+        raw: dict[str, np.ndarray],
+        strip_prefixes: tuple[str, ...] = (),
+        quant_bits: int | None = None,
+    ):
+        self.quant_bits = quant_bits
+        self.d: dict[str, np.ndarray] = {}
+        for k, v in raw.items():
+            for p in strip_prefixes:
+                k = k.removeprefix(p)
+            k = k.replace(".layers.", ".")
+            self.d[k] = np.asarray(v)
+
+    def take(self, key: str) -> np.ndarray:
+        if key not in self.d:
+            raise KeyError(f"checkpoint is missing '{key}'; available near-misses: "
+                           f"{[k for k in self.d if k.split('.')[-1] == key.split('.')[-1]][:5]}")
+        return self.d.pop(key)
+
+    def linear(self, key: str, bias: bool = True) -> Params:
+        if f"{key}.scales" in self.d:
+            # MLX-quantized linear: packed uint32 weight + group scales/biases
+            from f5_tts_tpu.models.quant import unpack_mlx_uint32
+
+            q = unpack_mlx_uint32(self.take(f"{key}.weight"), self.quant_bits)  # [out, in] uint8
+            p: Params = {
+                "q": jnp.asarray(q.T),  # [in, out]
+                "scales": jnp.asarray(self.take(f"{key}.scales").T),  # [in/64, out]
+                "biases": jnp.asarray(self.take(f"{key}.biases").T),
+            }
+        else:
+            p = {"kernel": jnp.asarray(self.take(f"{key}.weight").T)}
+        if bias and f"{key}.bias" in self.d:
+            p["bias"] = jnp.asarray(self.take(f"{key}.bias"))
+        return p
+
+    def norm(self, key: str) -> Params:
+        return {
+            "scale": jnp.asarray(self.take(f"{key}.weight")),
+            "bias": jnp.asarray(self.take(f"{key}.bias")),
+        }
+
+    def conv1d(self, key: str, kernel_size: int) -> Params:
+        w = self.take(f"{key}.weight")
+        if w.shape[-1] == kernel_size:  # torch [out, in/g, k]
+            kernel = np.transpose(w, (2, 1, 0))
+        elif w.shape[1] == kernel_size:  # MLX [out, k, in/g]
+            kernel = np.transpose(w, (1, 2, 0))
+        else:
+            raise ValueError(f"cannot infer conv layout for '{key}' with shape {w.shape}")
+        p = {"kernel": jnp.asarray(kernel)}
+        if f"{key}.bias" in self.d:
+            p["bias"] = jnp.asarray(self.take(f"{key}.bias"))
+        return p
+
+    def remaining(self) -> list[str]:
+        return sorted(self.d)
+
+
+def _convnext_v2_block(s: _State, prefix: str) -> Params:
+    return {
+        "dwconv": s.conv1d(f"{prefix}.dwconv", 7),
+        "norm": s.norm(f"{prefix}.norm"),
+        "pwconv1": s.linear(f"{prefix}.pwconv1"),
+        "grn": {
+            "gamma": jnp.asarray(s.take(f"{prefix}.grn.gamma")).reshape(1, 1, -1),
+            "beta": jnp.asarray(s.take(f"{prefix}.grn.beta")).reshape(1, 1, -1),
+        },
+        "pwconv2": s.linear(f"{prefix}.pwconv2"),
+    }
+
+
+def _text_embedding(s: _State, prefix: str, conv_layers: int, text_dim: int, max_pos: int) -> Params:
+    from f5_tts_tpu.models.rope import precompute_freqs_cis
+
+    p: Params = {"embed": {"embedding": jnp.asarray(s.take(f"{prefix}.text_embed.weight"))}}
+    if conv_layers > 0:
+        p["freqs_cis"] = jnp.asarray(precompute_freqs_cis(text_dim, max_pos))
+        p["blocks"] = [
+            _convnext_v2_block(s, f"{prefix}.text_blocks.{i}") for i in range(conv_layers)
+        ]
+    return p
+
+
+def _conv_pos_embed(s: _State, prefix: str) -> Params:
+    return {
+        "conv1": s.conv1d(f"{prefix}.conv1d.0", 31),
+        "conv2": s.conv1d(f"{prefix}.conv1d.2", 31),
+    }
+
+
+def _attention(s: _State, prefix: str) -> Params:
+    return {
+        "to_q": s.linear(f"{prefix}.to_q"),
+        "to_k": s.linear(f"{prefix}.to_k"),
+        "to_v": s.linear(f"{prefix}.to_v"),
+        "to_out": s.linear(f"{prefix}.to_out.0"),
+    }
+
+
+def _feed_forward(s: _State, prefix: str) -> Params:
+    return {
+        "w1": s.linear(f"{prefix}.ff.0.0"),
+        "w2": s.linear(f"{prefix}.ff.2"),
+    }
+
+
+# ----------------------------------------------------------------- DiT / CFM
+
+
+def convert_dit_state(
+    raw: dict[str, np.ndarray], cfg: DiTConfig, quant_bits: int | None = None
+) -> Params:
+    """Full F5TTS DiT checkpoint -> param pytree (reference mapping:
+    cfm.py:477-508). Accepts torch-EMA or MLX naming, float or MLX-quantized."""
+    filtered = {
+        k: v
+        for k, v in raw.items()
+        if k.removeprefix("ema_model.")
+        and not k.removeprefix("ema_model.").startswith("mel_spec.")
+        and k.removeprefix("ema_model.") not in ("initted", "step")
+    }
+    s = _State(filtered, strip_prefixes=("ema_model.", "transformer."), quant_bits=quant_bits)
+
+    blocks = [
+        {
+            "attn_norm": {"linear": s.linear(f"transformer_blocks.{i}.attn_norm.linear")},
+            "attn": _attention(s, f"transformer_blocks.{i}.attn"),
+            "ff": _feed_forward(s, f"transformer_blocks.{i}.ff"),
+        }
+        for i in range(cfg.depth)
+    ]
+
+    params = {
+        "time_embed": {
+            "mlp1": s.linear("time_embed.time_mlp.0"),
+            "mlp2": s.linear("time_embed.time_mlp.2"),
+        },
+        "text_embed": _text_embedding(s, "text_embed", cfg.conv_layers, cfg.text_dim, cfg.max_pos),
+        "input_embed": {
+            "proj": s.linear("input_embed.proj"),
+            "conv_pos_embed": _conv_pos_embed(s, "input_embed.conv_pos_embed"),
+        },
+        "blocks": stack_block_params(blocks),
+        "norm_out": {"linear": s.linear("norm_out.linear")},
+        "proj_out": s.linear("proj_out"),
+    }
+    leftovers = [k for k in s.remaining() if not k.startswith("rotary_embed.")]
+    if leftovers:
+        raise ValueError(f"unconsumed checkpoint keys: {leftovers[:10]}")
+    return params
+
+
+# ----------------------------------------------------------------- duration
+
+
+def convert_duration_state(raw: dict[str, np.ndarray], cfg: DurationConfig) -> Params:
+    """duration_v2.safetensors (MLX naming) -> param pytree
+    (reference model structure: duration.py:97-190)."""
+    s = _State(raw, strip_prefixes=())
+
+    blocks = [
+        {
+            "attn": _attention(s, f"transformer.transformer_blocks.{i}.attn"),
+            "ff": _feed_forward(s, f"transformer.transformer_blocks.{i}.ff"),
+        }
+        for i in range(cfg.depth)
+    ]
+
+    params = {
+        "text_embed": _text_embedding(
+            s, "transformer.text_embed", cfg.conv_layers, cfg.text_dim, cfg.max_pos
+        ),
+        "input_embed": {
+            "proj": s.linear("transformer.input_embed.proj"),
+            "conv_pos_embed": _conv_pos_embed(s, "transformer.input_embed.conv_pos_embed"),
+        },
+        "blocks": stack_block_params(blocks),
+        "norm_out": {"scale": jnp.asarray(s.take("transformer.norm_out.weight"))},
+        "to_pred": s.linear("to_pred.0", bias=False),
+    }
+    leftovers = [k for k in s.remaining() if not k.startswith("transformer.rotary_embed.")]
+    if leftovers:
+        raise ValueError(f"unconsumed checkpoint keys: {leftovers[:10]}")
+    return params
+
+
+# ----------------------------------------------------------------- vocos
+
+
+def convert_vocos_state(raw: dict[str, np.ndarray], cfg: VocosConfig) -> Params:
+    """Vocos mel-24khz checkpoint (torch or MLX naming) -> param pytree."""
+    filtered = {
+        k: v
+        for k, v in raw.items()
+        if not k.startswith("feature_extractor.") and "istft.window" not in k
+    }
+    s = _State(filtered, strip_prefixes=())
+
+    params = {
+        "embed": s.conv1d("backbone.embed", 7),
+        "norm": s.norm("backbone.norm"),
+        "convnext": [
+            {
+                "dwconv": s.conv1d(f"backbone.convnext.{i}.dwconv", 7),
+                "norm": s.norm(f"backbone.convnext.{i}.norm"),
+                "pwconv1": s.linear(f"backbone.convnext.{i}.pwconv1"),
+                "pwconv2": s.linear(f"backbone.convnext.{i}.pwconv2"),
+                "gamma": jnp.asarray(s.take(f"backbone.convnext.{i}.gamma")).reshape(-1),
+            }
+            for i in range(cfg.num_layers)
+        ],
+        "final_layer_norm": s.norm("backbone.final_layer_norm"),
+        "head": s.linear("head.out"),
+    }
+    if s.remaining():
+        raise ValueError(f"unconsumed checkpoint keys: {s.remaining()[:10]}")
+    return params
+
+
+# ----------------------------------------------------------------- export
+
+# Export param pytrees to MLX-style flat dicts (with ".layers." Sequential
+# segments and MLX conv layout [out, k, in/g]). Checkpoints written this way
+# load in the MLX reference and round-trip through convert_dit_state, which is
+# also how the mapping is unit-tested.
+
+
+def _export_linear(out: dict, key: str, p: Params) -> None:
+    out[f"{key}.weight"] = np.asarray(p["kernel"]).T
+    if "bias" in p:
+        out[f"{key}.bias"] = np.asarray(p["bias"])
+
+
+def _export_norm(out: dict, key: str, p: Params) -> None:
+    out[f"{key}.weight"] = np.asarray(p["scale"])
+    out[f"{key}.bias"] = np.asarray(p["bias"])
+
+
+def _export_conv1d(out: dict, key: str, p: Params) -> None:
+    out[f"{key}.weight"] = np.transpose(np.asarray(p["kernel"]), (2, 0, 1))  # -> [out, k, in/g]
+    if "bias" in p:
+        out[f"{key}.bias"] = np.asarray(p["bias"])
+
+
+def _export_convnext_v2(out: dict, key: str, p: Params) -> None:
+    _export_conv1d(out, f"{key}.dwconv", p["dwconv"])
+    _export_norm(out, f"{key}.norm", p["norm"])
+    _export_linear(out, f"{key}.pwconv1", p["pwconv1"])
+    out[f"{key}.grn.gamma"] = np.asarray(p["grn"]["gamma"])
+    out[f"{key}.grn.beta"] = np.asarray(p["grn"]["beta"])
+    _export_linear(out, f"{key}.pwconv2", p["pwconv2"])
+
+
+def _export_text_embedding(out: dict, key: str, p: Params) -> None:
+    out[f"{key}.text_embed.weight"] = np.asarray(p["embed"]["embedding"])
+    for i, bp in enumerate(p.get("blocks", [])):
+        _export_convnext_v2(out, f"{key}.text_blocks.layers.{i}", bp)
+
+
+def _export_input_embed(out: dict, key: str, p: Params) -> None:
+    _export_linear(out, f"{key}.proj", p["proj"])
+    _export_conv1d(out, f"{key}.conv_pos_embed.conv1d.layers.0", p["conv_pos_embed"]["conv1"])
+    _export_conv1d(out, f"{key}.conv_pos_embed.conv1d.layers.2", p["conv_pos_embed"]["conv2"])
+
+
+def _export_attention(out: dict, key: str, p: Params) -> None:
+    for name in ("to_q", "to_k", "to_v"):
+        _export_linear(out, f"{key}.{name}", p[name])
+    _export_linear(out, f"{key}.to_out.layers.0", p["to_out"])
+
+
+def _export_feed_forward(out: dict, key: str, p: Params) -> None:
+    _export_linear(out, f"{key}.ff.layers.0.layers.0", p["w1"])
+    _export_linear(out, f"{key}.ff.layers.2", p["w2"])
+
+
+def _unstack_blocks(stacked: Params) -> list[Params]:
+    import jax
+
+    depth = jax.tree_util.tree_leaves(stacked)[0].shape[0]
+    return [jax.tree.map(lambda x, i=i: np.asarray(x[i]), stacked) for i in range(depth)]
+
+
+def export_dit_state(params: Params) -> dict[str, np.ndarray]:
+    """DiT param pytree -> MLX-named flat dict (inverse of convert_dit_state)."""
+    out: dict[str, np.ndarray] = {}
+    _export_linear(out, "time_embed.time_mlp.layers.0", params["time_embed"]["mlp1"])
+    _export_linear(out, "time_embed.time_mlp.layers.2", params["time_embed"]["mlp2"])
+    _export_text_embedding(out, "text_embed", params["text_embed"])
+    _export_input_embed(out, "input_embed", params["input_embed"])
+    for i, bp in enumerate(_unstack_blocks(params["blocks"])):
+        key = f"transformer_blocks.{i}"
+        _export_linear(out, f"{key}.attn_norm.linear", bp["attn_norm"]["linear"])
+        _export_attention(out, f"{key}.attn", bp["attn"])
+        _export_feed_forward(out, f"{key}.ff", bp["ff"])
+    _export_linear(out, "norm_out.linear", params["norm_out"]["linear"])
+    _export_linear(out, "proj_out", params["proj_out"])
+    return out
+
+
+def export_duration_state(params: Params) -> dict[str, np.ndarray]:
+    """Duration param pytree -> MLX-named flat dict (inverse of
+    convert_duration_state)."""
+    out: dict[str, np.ndarray] = {}
+    _export_text_embedding(out, "transformer.text_embed", params["text_embed"])
+    _export_input_embed(out, "transformer.input_embed", params["input_embed"])
+    for i, bp in enumerate(_unstack_blocks(params["blocks"])):
+        key = f"transformer.transformer_blocks.{i}"
+        _export_attention(out, f"{key}.attn", bp["attn"])
+        _export_feed_forward(out, f"{key}.ff", bp["ff"])
+    out["transformer.norm_out.weight"] = np.asarray(params["norm_out"]["scale"])
+    _export_linear(out, "to_pred.layers.0", params["to_pred"])
+    return out
+
+
+# ----------------------------------------------------------------- loading
+
+
+def _load_flat_checkpoint(path: Path) -> dict[str, np.ndarray]:
+    if path.suffix in (".safetensors", ".saftensors"):
+        from safetensors.numpy import load_file
+
+        return load_file(path)
+    # torch .bin/.pt fallback (e.g. charactr/vocos-mel-24khz)
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    return {k: v.numpy() for k, v in sd.items()}
+
+
+def load_f5tts_pretrained(
+    hf_model_name_or_path: str = "lucasnewman/f5-tts-mlx",
+    quantization_bits: int | None = None,
+):
+    """Build a ready-to-sample F5TTS from the published checkpoint
+    (reference: cfm.py:404-520): vocab, optional duration predictor, vocoder,
+    DiT weights, optional int4/int8 weight-only quantization."""
+    from f5_tts_tpu.models.cfm import F5TTS
+    from f5_tts_tpu.models.duration import DurationPredictor
+    from f5_tts_tpu.models.vocos import Vocos
+
+    path = fetch_from_hub(hf_model_name_or_path, quantization_bits=quantization_bits)
+
+    from f5_tts_tpu.utils.tokenizer import load_vocab
+
+    vocab = load_vocab(path / "vocab.txt")
+
+    duration_predictor = None
+    duration_model_path = path / "duration_v2.safetensors"
+    if duration_model_path.exists():
+        dur_cfg = DurationConfig(text_num_embeds=len(vocab) - 1)
+        duration_predictor = DurationPredictor(
+            convert_duration_state(_load_flat_checkpoint(duration_model_path), dur_cfg),
+            dur_cfg,
+            vocab_char_map=vocab,
+        )
+
+    # a "vocos" subdirectory inside the snapshot takes precedence, enabling
+    # fully offline loading; otherwise fetch the published vocoder repo
+    vocos_local = path / "vocos"
+    vocoder = Vocos.from_pretrained(
+        str(vocos_local) if vocos_local.exists() else "lucasnewman/vocos-mel-24khz"
+    )
+
+    model_filename = "model_v1.safetensors"
+    if quantization_bits is not None:
+        model_filename = f"model_v1_{quantization_bits}b.safetensors"
+
+    dit_cfg = F5TTS_V1_BASE.replace(text_num_embeds=len(vocab) - 1)
+    raw = _load_flat_checkpoint(path / model_filename)
+
+    if quantization_bits is not None:
+        from f5_tts_tpu.models.quant import convert_quantized_dit_state
+
+        params = convert_quantized_dit_state(raw, dit_cfg, bits=quantization_bits)
+    else:
+        params = convert_dit_state(raw, dit_cfg)
+
+    return F5TTS(
+        params,
+        dit_cfg,
+        cfm_cfg=CFMConfig(),
+        audio_cfg=AudioConfig(),
+        vocab_char_map=vocab,
+        vocoder=vocoder.decode,
+        duration_predictor=duration_predictor,
+    )
+
+
+def load_vocos_pretrained(repo_id: str = "lucasnewman/vocos-mel-24khz"):
+    """Fetch + convert the Vocos vocoder weights."""
+    from f5_tts_tpu.models.vocos import Vocos
+
+    local = Path(repo_id)
+    if not local.exists():
+        from huggingface_hub import snapshot_download
+
+        local = Path(snapshot_download(repo_id=repo_id))
+
+    cfg = VocosConfig()
+    for name in ("model.safetensors", "pytorch_model.bin", "weights.safetensors"):
+        ckpt = local / name
+        if ckpt.exists():
+            return Vocos(convert_vocos_state(_load_flat_checkpoint(ckpt), cfg), cfg)
+    raise FileNotFoundError(f"no vocos checkpoint found under {local}")

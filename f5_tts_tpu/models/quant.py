@@ -1,0 +1,145 @@
+"""Weight-only int4/int8 quantization, MLX-compatible (group size 64).
+
+The reference ships 4/8-bit model variants quantized with `mlx.nn.quantize`
+(reference: cfm.py:450-453, 510-515): per-64-element affine groups along the
+input dimension of every nn.Linear whose in_features % 64 == 0, packed into
+uint32 words. This module
+
+  - unpacks those published checkpoints into uint8 + scales/biases pytrees,
+  - quantizes float trees the same way (for parity round-trips and local use),
+  - provides the dequantizing matmul used by utils.modules.linear; the hot
+    dequant-in-kernel path lives in ops/qmatmul.py (Pallas).
+
+Quantized linear param layout (kernel is [in, out] in this codebase):
+  q:      uint8 [in, out]        (values in [0, 2^bits))
+  scales: f32   [in/64, out]
+  biases: f32   [in/64, out]
+  dequant(w) = q * repeat(scales, 64, 0) + repeat(biases, 64, 0)
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from f5_tts_tpu.utils.modules import Params
+
+GROUP_SIZE = 64
+
+
+def unpack_mlx_uint32(w: np.ndarray, bits: int) -> np.ndarray:
+    """MLX packed uint32 [out, in*bits/32] -> uint8 [out, in]
+    (least-significant element first within each word)."""
+    per = 32 // bits
+    shifts = (np.arange(per, dtype=np.uint32) * bits).astype(np.uint32)
+    vals = (w[..., None] >> shifts) & np.uint32((1 << bits) - 1)
+    return vals.reshape(*w.shape[:-1], w.shape[-1] * per).astype(np.uint8)
+
+
+def pack_mlx_uint32(q: np.ndarray, bits: int) -> np.ndarray:
+    """uint8 [out, in] -> MLX packed uint32 [out, in*bits/32]."""
+    per = 32 // bits
+    q = q.astype(np.uint32).reshape(*q.shape[:-1], q.shape[-1] // per, per)
+    shifts = (np.arange(per, dtype=np.uint32) * bits).astype(np.uint32)
+    return (q << shifts).sum(axis=-1, dtype=np.uint32)
+
+
+def quantize_kernel(kernel: np.ndarray, bits: int, group_size: int = GROUP_SIZE) -> Params:
+    """Quantize a [in, out] kernel into the affine-group format above,
+    matching mlx.nn.quantize semantics (per-group min/max affine)."""
+    d_in, d_out = kernel.shape
+    if d_in % group_size != 0:
+        raise ValueError(f"in dim {d_in} not divisible by group size {group_size}")
+    levels = (1 << bits) - 1
+    g = kernel.reshape(d_in // group_size, group_size, d_out)
+    w_min = g.min(axis=1)  # [groups, out]
+    w_max = g.max(axis=1)
+    scales = (w_max - w_min) / levels
+    scales = np.where(scales == 0, 1e-8, scales).astype(np.float32)
+    biases = w_min.astype(np.float32)
+    q = np.rint((g - biases[:, None, :]) / scales[:, None, :])
+    q = np.clip(q, 0, levels).astype(np.uint8).reshape(d_in, d_out)
+    return {
+        "q": jnp.asarray(q),
+        "scales": jnp.asarray(scales),
+        "biases": jnp.asarray(biases),
+    }
+
+
+def dequantize_kernel(p: Params, dtype=jnp.float32) -> jax.Array:
+    """[in, out] float kernel from quantized params."""
+    q = p["q"].astype(dtype)
+    scales = jnp.repeat(p["scales"].astype(dtype), GROUP_SIZE, axis=0)
+    biases = jnp.repeat(p["biases"].astype(dtype), GROUP_SIZE, axis=0)
+    return q * scales + biases
+
+
+def quantized_matmul(x: jax.Array, p: Params, use_kernel: bool = True) -> jax.Array:
+    """x [.., in] @ dequant(p) -> [.., out].
+
+    Dispatches to the Pallas dequant-in-kernel matmul when available; the
+    fallback materializes the dequantized kernel (XLA fuses the affine into
+    the matmul prologue where it can).
+    """
+    if use_kernel:
+        try:
+            from f5_tts_tpu.ops.qmatmul import qmatmul, qmatmul_supported
+
+            if qmatmul_supported(x, p):
+                return qmatmul(x, p)
+        except ImportError:
+            pass
+    return x @ dequantize_kernel(p, x.dtype)
+
+
+def quantizable(kernel_shape: tuple[int, ...]) -> bool:
+    """Eligibility rule kept identical to the reference: in_features % 64 == 0
+    (reference: cfm.py:510-515)."""
+    return len(kernel_shape) == 2 and kernel_shape[0] % GROUP_SIZE == 0
+
+
+def quantize_tree(params: Params, bits: int) -> Params:
+    """Quantize every eligible linear leaf-dict of a param tree
+    (functionally): a leaf-dict {kernel[, bias]} with a 2D kernel whose input
+    dim is a multiple of 64 becomes a quantized dict.
+
+    Conv kernels (3D) and norms are never quantized — same effective behavior
+    as the reference's nn.Linear class predicate. The scan-stacked "blocks"
+    subtree (leading depth axis on every leaf) is unstacked, quantized per
+    layer, and restacked so lax.scan slices quantized leaves naturally.
+    """
+    if isinstance(params, dict):
+        if "kernel" in params and quantizable(jnp.shape(params["kernel"])):
+            out = quantize_kernel(np.asarray(params["kernel"]), bits)
+            if "bias" in params:
+                out["bias"] = params["bias"]
+            return out
+        out = {}
+        for k, v in params.items():
+            if k == "blocks" and isinstance(v, dict):
+                depth = jax.tree_util.tree_leaves(v)[0].shape[0]
+                layers = [
+                    quantize_tree(jax.tree.map(lambda x, i=i: x[i], v), bits)
+                    for i in range(depth)
+                ]
+                out[k] = jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
+            else:
+                out[k] = quantize_tree(v, bits)
+        return out
+    if isinstance(params, list):
+        return [quantize_tree(v, bits) for v in params]
+    return params
+
+
+def convert_quantized_dit_state(raw: dict[str, np.ndarray], cfg, bits: int) -> Params:
+    """Load an MLX-quantized published checkpoint (model_v1_{4,8}b.safetensors).
+
+    MLX stores, per quantized linear: 'weight' (packed uint32), 'scales',
+    'biases'. The conversion path in models/convert.py detects the '.scales'
+    sibling and emits quantized leaves directly (no dequant round-trip, so the
+    stored grid is preserved bit-exactly).
+    """
+    from f5_tts_tpu.models.convert import convert_dit_state
+
+    return convert_dit_state(raw, cfg, quant_bits=bits)

@@ -39,7 +39,12 @@ def linear_init(key, d_in: int, d_out: int, bias: bool = True) -> Params:
 
 
 def linear(p: Params, x: jax.Array) -> jax.Array:
-    y = x @ p["kernel"].astype(x.dtype)
+    if "q" in p:  # weight-only quantized leaf (see models/quant.py)
+        from f5_tts_tpu.models.quant import quantized_matmul
+
+        y = quantized_matmul(x, p)
+    else:
+        y = x @ p["kernel"].astype(x.dtype)
     if "bias" in p:
         y = y + p["bias"].astype(x.dtype)
     return y

@@ -18,8 +18,9 @@ import numpy as np
 
 def list_str_to_tensor(text: list[str], padding_value: int = -1) -> np.ndarray:
     """UTF-8 byte fallback tokenizer -> int array [b, nt]
-    (reference: utils.py:115-118)."""
-    seqs = [list(bytes(t, "UTF-8")) for t in text]
+    (reference: utils.py:115-118). Token-list inputs (the pinyin converter's
+    output) are joined back to a string first."""
+    seqs = [list(bytes(t if isinstance(t, str) else "".join(t), "UTF-8")) for t in text]
     return _pad_int_sequences(seqs, padding_value)
 
 
