@@ -1,0 +1,92 @@
+"""Benchmark: RTF for a 10 s utterance at 32 ODE steps on one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+value = real-time factor (wall seconds of compute per second of audio,
+lower is better), measured on the base-config model (335M params, bf16
+compute, batched CFG) with the full text->mel->ODE->vocoder pipeline,
+excluding compilation (warmup run first).
+
+vs_baseline divides by the reference's published number: ~RTF 0.5 on an Apple
+M3 Max (reference README.md:9, 8 s sample in ~4 s). Target from BASELINE.md:
+RTF <= 0.05 on one TPU v5e chip.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BASELINE_RTF = 0.5
+UTTERANCE_SECONDS = 10.0
+STEPS = 32
+WARMUP_RUNS = 1
+TIMED_RUNS = 3
+
+
+def main() -> None:
+    from f5_tts_tpu.config import F5TTS_V1_BASE, CFMConfig, VocosConfig
+    from f5_tts_tpu.models.cfm import F5TTS
+    from f5_tts_tpu.models.vocos import Vocos
+
+    dit_cfg = F5TTS_V1_BASE.replace(compute_dtype="bfloat16")
+    vocoder = Vocos.init(jax.random.key(1), VocosConfig(compute_dtype="bfloat16"))
+    model = F5TTS.init(
+        jax.random.key(0),
+        dit_cfg,
+        cfm_cfg=CFMConfig(),
+        vocoder=vocoder.decode,
+    )
+
+    # 2 s reference clip + text; duration = 10 s total at 93.75 fps
+    sr = model.audio_cfg.sample_rate
+    ref = (0.1 * np.sin(2 * np.pi * 220 * np.arange(2 * sr) / sr)).astype(np.float32)
+    text = ["Some call me nature, others call me mother nature. " "This is a benchmark utterance for the flow matching sampler."]
+    duration = int(UTTERANCE_SECONDS * model.audio_cfg.frames_per_second)
+
+    def run():
+        wave, _ = model.sample(
+            jnp.asarray(ref)[None, :],
+            text=text,
+            duration=duration,
+            steps=STEPS,
+            method="euler",
+            cfg_strength=2.0,
+            sway_sampling_coef=-1.0,
+            seed=0,
+        )
+        # force completion with a host readback: on the axon tunnel backend
+        # block_until_ready returns before execution finishes
+        np.asarray(wave[..., :8])
+        return wave
+
+    for _ in range(WARMUP_RUNS):
+        wave = run()
+
+    times = []
+    for _ in range(TIMED_RUNS):
+        t0 = time.perf_counter()
+        wave = run()
+        times.append(time.perf_counter() - t0)
+
+    wall = min(times)
+    audio_seconds = wave.shape[-1] / sr
+    rtf = wall / audio_seconds
+
+    print(
+        json.dumps(
+            {
+                "metric": "rtf_10s_utterance_32steps_1chip",
+                "value": round(rtf, 5),
+                "unit": "rtf",
+                "vs_baseline": round(rtf / BASELINE_RTF, 5),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

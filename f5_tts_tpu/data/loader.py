@@ -1,0 +1,229 @@
+"""Host-side streaming data pipeline.
+
+Replaces the reference's `mlx.data` C++ stream pipeline (reference:
+data.py:197-213, train_libritts_small.py:44-52) with a composable Python
+stream: threaded decode, shuffle buffer, prefetch queue, padded batching, and
+pad-to-multiple — yielding the same batch schema the trainers consume
+({"mel_spec", "mel_len", "transcript"}).
+
+The mel transform runs as one vmapped device call per batch (XLA FFT) instead
+of per-sample host work, which keeps the host threads doing only file I/O.
+A native C++ WAV decoder (ops/native) is used when built, with a pure-Python
+fallback.
+"""
+
+from __future__ import annotations
+
+import queue
+import random
+import threading
+from typing import Callable, Iterable, Iterator
+
+import numpy as np
+
+SAMPLE_RATE = 24_000
+HOP_LENGTH = 256
+
+# byte-level vocab used by the LibriTTS example driver
+# (reference: data.py:52, train_libritts_small.py:14)
+BYTE_VOCAB = {chr(i): i for i in range(256)}
+
+
+class Stream:
+    """A restartable, composable sample stream."""
+
+    def __init__(self, factory: Callable[[], Iterable]):
+        self._factory = factory
+
+    def __iter__(self) -> Iterator:
+        return iter(self._factory())
+
+    @classmethod
+    def from_list(cls, items: list) -> "Stream":
+        return cls(lambda: iter(items))
+
+    def repeat(self, n: int) -> "Stream":
+        def gen():
+            for _ in range(n):
+                yield from self._factory()
+
+        return Stream(gen)
+
+    def shuffle(self, buffer_size: int, seed: int | None = None) -> "Stream":
+        """Reservoir-style shuffle buffer (reference pipeline's .shuffle(500))."""
+
+        def gen():
+            rng = random.Random(seed)
+            buf: list = []
+            for item in self._factory():
+                buf.append(item)
+                if len(buf) >= buffer_size:
+                    idx = rng.randrange(len(buf))
+                    buf[idx], buf[-1] = buf[-1], buf[idx]
+                    yield buf.pop()
+            rng.shuffle(buf)
+            yield from buf
+
+        return Stream(gen)
+
+    def filter(self, pred: Callable) -> "Stream":
+        return Stream(lambda: (x for x in self._factory() if pred(x)))
+
+    def map(self, fn: Callable, num_threads: int = 1) -> "Stream":
+        """Apply fn to each sample; with num_threads > 1, an ordered
+        thread-pool map (the decode stage). fn returning None drops a sample."""
+        if num_threads <= 1:
+            def gen():
+                for x in self._factory():
+                    y = fn(x)
+                    if y is not None:
+                        yield y
+
+            return Stream(gen)
+
+        def gen():
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(num_threads) as pool:
+                for y in pool.map(fn, self._factory()):
+                    if y is not None:
+                        yield y
+
+        return Stream(gen)
+
+    def batch(
+        self, batch_size: int, collate: Callable[[list], dict], drop_remainder: bool = False
+    ) -> "Stream":
+        """drop_remainder=True keeps every batch exactly batch_size — required
+        when batches are sharded over a data-parallel mesh axis."""
+
+        def gen():
+            buf: list = []
+            for item in self._factory():
+                buf.append(item)
+                if len(buf) == batch_size:
+                    yield collate(buf)
+                    buf = []
+            if buf and not drop_remainder:
+                yield collate(buf)
+
+        return Stream(gen)
+
+    def prefetch(self, prefetch_size: int = 2) -> "Stream":
+        """Background-thread prefetch queue decoupling host I/O from the
+        device step (the role of mlx.data's internal worker threads)."""
+
+        def gen():
+            q: queue.Queue = queue.Queue(maxsize=prefetch_size)
+            sentinel = object()
+            error: list[BaseException] = []
+
+            def worker():
+                try:
+                    for item in self._factory():
+                        q.put(item)
+                except BaseException as e:  # propagate into the consumer
+                    error.append(e)
+                finally:
+                    q.put(sentinel)
+
+            t = threading.Thread(target=worker, daemon=True)
+            t.start()
+            while True:
+                item = q.get()
+                if item is sentinel:
+                    if error:
+                        raise error[0]
+                    return
+                yield item
+
+        return Stream(gen)
+
+
+# -------------------------------------------------------------- collation
+
+
+def pad_to_multiple(x: np.ndarray, axis: int, multiple: int, value=0.0) -> np.ndarray:
+    size = x.shape[axis]
+    target = -(-size // multiple) * multiple
+    if target == size:
+        return x
+    pad = [(0, 0)] * x.ndim
+    pad[axis] = (0, target - size)
+    return np.pad(x, pad, constant_values=value)
+
+
+def collate_audio_batch(
+    samples: list[dict],
+    pad_frame_multiple: int = 256,
+    compute_mel_on_device: bool = True,
+) -> dict:
+    """samples: [{"audio": float32 [nw], "transcript": int32 [nt]}] ->
+    {"mel_spec" [b, n, d], "mel_len" [b], "transcript" [b, nt]}.
+
+    Mirrors the reference pipeline's pad/pad_to_multiple batching
+    (train_libritts_small.py:49-51): mel padded with 0.0 past each item's
+    length, frames padded to a multiple of 256 so jit sees few shapes.
+    """
+    mel_lens = np.array([s["audio"].shape[0] // HOP_LENGTH for s in samples], dtype=np.int32)
+    max_samples = int(mel_lens.max()) * HOP_LENGTH
+
+    audio = np.zeros((len(samples), max_samples), dtype=np.float32)
+    for i, s in enumerate(samples):
+        n = min(s["audio"].shape[0], max_samples)
+        audio[i, :n] = s["audio"][:n]
+
+    if compute_mel_on_device:
+        import jax.numpy as jnp
+
+        from f5_tts_tpu.audio.mel import log_mel_spectrogram
+
+        mel = np.asarray(log_mel_spectrogram(jnp.asarray(audio)))
+    else:
+        from f5_tts_tpu.audio.mel import log_mel_spectrogram
+
+        mel = np.asarray(log_mel_spectrogram(audio))
+
+    # zero past each item's true length (the reference's batch pad value is
+    # 0.0 mel, not the log floor)
+    n = mel.shape[1]
+    frame_idx = np.arange(n)[None, :]
+    mel = np.where((frame_idx < mel_lens[:, None])[..., None], mel, 0.0)
+    mel = pad_to_multiple(mel, axis=1, multiple=pad_frame_multiple, value=0.0)
+
+    nt = max(s["transcript"].shape[0] for s in samples)
+    transcript = np.full((len(samples), nt), -1, dtype=np.int32)
+    for i, s in enumerate(samples):
+        transcript[i, : s["transcript"].shape[0]] = s["transcript"]
+
+    return {"mel_spec": mel, "mel_len": mel_lens, "transcript": transcript}
+
+
+def make_training_pipeline(
+    samples: Stream,
+    batch_size: int,
+    epochs: int = 1,
+    shuffle_buffer: int = 500,
+    num_threads: int = 6,
+    prefetch_size: int | None = None,
+    pad_frame_multiple: int = 256,
+    seed: int | None = None,
+    drop_remainder: bool = True,
+) -> Stream:
+    """The full driver pipeline (reference: train_libritts_small.py:44-52):
+    repeat -> shuffle -> threaded decode -> batch(pad) -> pad_to_multiple ->
+    prefetch. drop_remainder defaults True so batches stay shardable over a
+    data-parallel mesh axis."""
+    from f5_tts_tpu.data.libritts import decode_sample
+
+    return (
+        samples.repeat(epochs)
+        .shuffle(shuffle_buffer, seed=seed)
+        .map(decode_sample, num_threads=num_threads)
+        .batch(
+            batch_size,
+            lambda b: collate_audio_batch(b, pad_frame_multiple),
+            drop_remainder=drop_remainder,
+        )
+        .prefetch(prefetch_size or 2)
+    )

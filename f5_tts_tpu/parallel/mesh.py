@@ -1,0 +1,138 @@
+"""Device-mesh parallelism: data-parallel batches + Megatron-style tensor
+parallelism over attention heads and FF hidden units.
+
+The reference is strictly single-device (SURVEY.md §2c: no distributed
+backend of any kind); this module is the TPU-idiomatic scale-out: a
+`Mesh(("data", "model"))`, `NamedSharding` annotations on the param pytree,
+and GSPMD-inserted collectives over ICI. The same jitted step runs unchanged
+on 1 chip (1x1 mesh) or a pod slice.
+
+TP layout (the classic two-collective pattern):
+  - attn to_q/to_k/to_v and ff w1: output dim sharded  -> heads/hidden split
+  - attn to_out and ff w2: input dim sharded           -> one psum each
+  - embeddings, norms, AdaLN modulation, convs: replicated (tiny)
+Scan-stacked block leaves carry a leading depth axis, so their specs shift
+right by one.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import numpy as np
+from jax.experimental import mesh_utils
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from f5_tts_tpu.utils.modules import Params
+
+
+def create_mesh(data: int | None = None, model: int = 1, devices=None) -> Mesh:
+    """Build a ("data", "model") mesh. Defaults to all devices on the data
+    axis. Works with any device count including 1."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if data is None:
+        data = n // model
+    if data * model > n:
+        raise ValueError(f"mesh {data}x{model} needs {data * model} devices, have {n}")
+    arr = mesh_utils.create_device_mesh((data, model), devices=devices[: data * model])
+    return Mesh(arr, ("data", "model"))
+
+
+# ------------------------------------------------------------- spec rules
+
+
+def _path_str(path) -> str:
+    parts = []
+    for p in path:
+        if hasattr(p, "key"):
+            parts.append(str(p.key))
+        elif hasattr(p, "idx"):
+            parts.append(str(p.idx))
+        else:
+            parts.append(str(p))
+    return "/".join(parts)
+
+
+# leaf-name patterns -> (spec axis position of the "model"-sharded dim),
+# counted from the END of the shape so stacked depth axes don't matter.
+# -1 = last dim (output), -2 = second-to-last (input).
+_COL_SHARDED = ("attn/to_q", "attn/to_k", "attn/to_v", "ff/w1")  # out-dim
+_ROW_SHARDED = ("attn/to_out", "ff/w2")  # in-dim
+
+
+def _spec_for(path: str, leaf) -> P:
+    ndim = np.ndim(leaf)
+    for pat in _COL_SHARDED:
+        if pat in path:
+            if path.endswith(("kernel", "q")):
+                return P(*([None] * (ndim - 1) + ["model"]))
+            if path.endswith(("bias", "scales", "biases")):
+                return P(*([None] * (ndim - 1) + ["model"]))
+    for pat in _ROW_SHARDED:
+        if pat in path:
+            if path.endswith(("kernel", "q")):
+                return P(*([None] * (ndim - 2) + ["model", None]))
+            if path.endswith(("scales", "biases")):
+                # group axis (in/64) is sharded alongside the input dim
+                return P(*([None] * (ndim - 2) + ["model", None]))
+            return P()  # output-side bias: replicated
+    return P()  # everything else replicated
+
+
+def param_specs(params: Params) -> Any:
+    """PartitionSpec pytree matching a DiT/duration param tree."""
+    return jax.tree_util.tree_map_with_path(
+        lambda path, leaf: _spec_for(_path_str(path), leaf), params
+    )
+
+
+def state_specs(state: dict) -> dict:
+    """Specs for a full train state: params + optimizer moments (which mirror
+    the param tree paths, so the same path rules apply) + scalars."""
+    return jax.tree_util.tree_map_with_path(
+        lambda path, leaf: _spec_for(_path_str(path), leaf), state
+    )
+
+
+def _named(mesh: Mesh, spec_tree):
+    return jax.tree.map(
+        lambda s: NamedSharding(mesh, s),
+        spec_tree,
+        is_leaf=lambda x: isinstance(x, P),
+    )
+
+
+def shard_params(params: Params, mesh: Mesh) -> Params:
+    return jax.device_put(params, _named(mesh, param_specs(params)))
+
+
+def shard_state(state: dict, mesh: Mesh) -> dict:
+    return jax.device_put(state, _named(mesh, state_specs(state)))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P("data"))
+
+
+def shard_train_step(step_fn, mesh: Mesh, state_example: dict):
+    """Jit a (state, mel, text, lens, key) -> (state, loss) step with DP+TP
+    shardings. The state is donated (in-place update on device)."""
+    state_sh = _named(mesh, state_specs(state_example))
+    data_sh = batch_sharding(mesh)
+    repl = NamedSharding(mesh, P())
+    return jax.jit(
+        step_fn,
+        in_shardings=(state_sh, data_sh, data_sh, data_sh, repl),
+        out_shardings=(state_sh, repl),
+        donate_argnums=(0,),
+    )
+
+
+def shard_model_for_inference(model, mesh: Mesh):
+    """Re-place a model's params with TP sharding; batched sampling inputs get
+    DP sharding automatically via jit's sharding propagation when callers
+    device_put their batches with `batch_sharding(mesh)`."""
+    model.params = shard_params(model.params, mesh)
+    return model

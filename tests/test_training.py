@@ -1,0 +1,169 @@
+"""Trainer, data pipeline, and mesh-parallel tests."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from f5_tts_tpu.config import CFMConfig, DiTConfig
+from f5_tts_tpu.data.loader import Stream, collate_audio_batch, make_training_pipeline
+from f5_tts_tpu.models.cfm import F5TTS, cfm_loss
+from f5_tts_tpu.models.dit import init_dit
+from f5_tts_tpu.training.trainer import init_train_state, make_optimizer, make_train_step
+
+TINY = DiTConfig(
+    dim=64, depth=2, heads=2, dim_head=32, ff_mult=2, mel_dim=100,
+    text_num_embeds=256, text_dim=32, conv_layers=1, use_flash_attention=False,
+)
+CFM = CFMConfig()
+
+
+def _fake_batch(b=2, n=64, key=0):
+    ks = jax.random.split(jax.random.key(key), 2)
+    mel = jax.random.normal(ks[0], (b, n, 100))
+    text = jax.random.randint(ks[1], (b, 16), 0, 255)
+    lens = jnp.full((b,), n, jnp.int32)
+    return mel, text, lens
+
+
+def test_train_step_reduces_loss_same_batch():
+    """Overfitting a single batch must reduce the loss."""
+    params = init_dit(jax.random.key(0), TINY)
+    opt = make_optimizer(learning_rate=1e-3, num_warmup_steps=1, total_steps=200)
+    state = init_train_state(params, opt)
+    step = jax.jit(make_train_step(TINY, CFM, opt), donate_argnums=(0,))
+
+    mel, text, lens = _fake_batch()
+    fixed_key = jax.random.key(7)  # same randomness each step -> pure optimization
+    losses = []
+    for i in range(30):
+        state, loss = step(state, mel, text, lens, fixed_key)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0] * 0.7, f"no learning: {losses[0]} -> {losses[-1]}"
+    assert int(state["step"]) == 30
+
+
+def test_optimizer_schedule_warmup():
+    opt = make_optimizer(learning_rate=1e-3, num_warmup_steps=10, total_steps=100)
+    # warmup: lr at step 0 is ~0
+    params = {"w": jnp.ones(4)}
+    state = opt.init(params)
+    g = {"w": jnp.ones(4)}
+    updates, state = opt.update(g, state, params)
+    assert float(jnp.abs(updates["w"]).max()) < 1e-6  # lr=1e-8 at step 0
+
+
+def test_stream_combinators():
+    s = Stream.from_list([1, 2, 3])
+    assert list(s.repeat(2)) == [1, 2, 3, 1, 2, 3]
+    assert sorted(s.shuffle(2, seed=0)) == [1, 2, 3]
+    assert list(s.map(lambda x: x * 2)) == [2, 4, 6]
+    assert list(s.map(lambda x: None if x == 2 else x)) == [1, 3]
+    assert list(s.filter(lambda x: x > 1)) == [2, 3]
+    batches = list(s.batch(2, lambda b: b))
+    assert batches == [[1, 2], [3]]
+    assert list(s.batch(2, lambda b: b, drop_remainder=True)) == [[1, 2]]
+    assert list(s.prefetch(2)) == [1, 2, 3]
+    # streams restart cleanly
+    assert list(s) == [1, 2, 3]
+
+
+def test_stream_prefetch_propagates_errors():
+    def boom():
+        yield 1
+        raise RuntimeError("decode failed")
+
+    with pytest.raises(RuntimeError, match="decode failed"):
+        list(Stream(boom).prefetch(2))
+
+
+def test_collate_audio_batch():
+    samples = [
+        {"audio": np.ones(256 * 10, np.float32), "transcript": np.array([1, 2], np.int32)},
+        {"audio": np.ones(256 * 7, np.float32), "transcript": np.array([3], np.int32)},
+    ]
+    batch = collate_audio_batch(samples, pad_frame_multiple=8)
+    assert batch["mel_spec"].shape == (2, 16, 100)  # 10 frames -> pad to 16
+    np.testing.assert_array_equal(batch["mel_len"], [10, 7])
+    np.testing.assert_array_equal(batch["transcript"], [[1, 2], [3, -1]])
+    # padded region zeroed (reference pads mel with 0.0)
+    assert np.all(batch["mel_spec"][1, 7:] == 0.0)
+    assert np.any(batch["mel_spec"][1, :7] != 0.0)
+
+
+def test_trainer_end_to_end(tmp_path):
+    from f5_tts_tpu.training import F5TTSTrainer
+
+    model = F5TTS.init(jax.random.key(0), TINY, cfm_cfg=CFM)
+
+    def dataset():
+        for i in range(8):
+            mel, text, lens = _fake_batch(key=i)
+            yield {"mel_spec": np.asarray(mel), "mel_len": np.asarray(lens),
+                   "transcript": np.asarray(text)}
+
+    trainer = F5TTSTrainer(model, num_warmup_steps=2, results_dir=tmp_path)
+    trainer.train(dataset(), learning_rate=1e-4, total_steps=6, save_every=3,
+                  sample_every=10**9, log_every=2)
+    files = sorted(os.listdir(tmp_path))
+    assert "f5tts_3.safetensors" in files and "f5tts_6.safetensors" in files
+
+    # resume restores optimizer state and step counter
+    trainer2 = F5TTSTrainer(model, num_warmup_steps=2, results_dir=tmp_path)
+    trainer2.train(dataset(), learning_rate=1e-4, total_steps=8, checkpoint=6,
+                   save_every=10**9, sample_every=10**9)
+    assert int(trainer2.state["step"]) == 8
+
+
+def test_mesh_sharded_step_matches_single_device():
+    """DP+TP sharded training step must produce the same loss as unsharded."""
+    from f5_tts_tpu.parallel.mesh import batch_sharding, create_mesh, shard_state, shard_train_step
+
+    params = init_dit(jax.random.key(0), TINY)
+    opt = make_optimizer(learning_rate=1e-3, num_warmup_steps=1, total_steps=100)
+    step_fn = make_train_step(TINY, CFM, opt)
+
+    mel, text, lens = _fake_batch(b=4, n=64)
+    key = jax.random.key(3)
+
+    state1 = init_train_state(params, opt)
+    state1, loss1 = jax.jit(step_fn)(state1, mel, text, lens, key)
+
+    mesh = create_mesh(data=4, model=2)
+    state2 = shard_state(init_train_state(params, opt), mesh)
+    sharded = shard_train_step(step_fn, mesh, state2)
+    dsh = batch_sharding(mesh)
+    state2, loss2 = sharded(
+        state2, jax.device_put(mel, dsh), jax.device_put(text, dsh),
+        jax.device_put(lens, dsh), key,
+    )
+    np.testing.assert_allclose(float(loss1), float(loss2), rtol=2e-4)
+    # params after one step also agree
+    k1 = np.asarray(state1["params"]["proj_out"]["kernel"])
+    k2 = np.asarray(state2["params"]["proj_out"]["kernel"])
+    np.testing.assert_allclose(k1, k2, atol=2e-5)
+
+
+def test_param_specs_shard_the_right_leaves():
+    from jax.sharding import PartitionSpec as P
+
+    from f5_tts_tpu.parallel.mesh import param_specs
+
+    params = init_dit(jax.random.key(0), TINY)
+    specs = param_specs(params)
+    assert specs["blocks"]["attn"]["to_q"]["kernel"] == P(None, None, "model")
+    assert specs["blocks"]["attn"]["to_out"]["kernel"] == P(None, "model", None)
+    assert specs["blocks"]["ff"]["w1"]["kernel"] == P(None, None, "model")
+    assert specs["blocks"]["ff"]["w2"]["kernel"] == P(None, "model", None)
+    assert specs["blocks"]["ff"]["w2"]["bias"] == P()
+    assert specs["text_embed"]["embed"]["embedding"] == P()
+    assert specs["proj_out"]["kernel"] == P()
+
+
+def test_graft_entry_dryrun():
+    import __graft_entry__ as g
+
+    g.dryrun_multichip(8)
+    g.dryrun_multichip(1)
