@@ -25,7 +25,12 @@ import numpy as np
 
 from f5_tts_tpu.audio.mel import MelSpec
 from f5_tts_tpu.config import AudioConfig, CFMConfig, DiTConfig
-from f5_tts_tpu.models.dit import dit_forward, init_dit
+from f5_tts_tpu.models.dit import (
+    dit_forward,
+    dit_forward_precomputed,
+    dit_text_embed,
+    init_dit,
+)
 from f5_tts_tpu.models.ode import odeint
 from f5_tts_tpu.utils.masks import lens_to_mask, mask_from_frac_lengths
 from f5_tts_tpu.utils.modules import Params
@@ -108,25 +113,34 @@ def cfm_sample_mel(
     """Integrate the flow ODE; returns trajectory [steps, b, n, d]
     (reference: cfm.py:338-393)."""
     del has_mask  # only disambiguates the jit cache when mask is None
-    b = y0.shape[0]
+    b, n = y0.shape[0], y0.shape[1]
 
     if cfg_strength < 1e-5:
-        def fn(t, x):
-            return dit_forward(
-                params, dit_cfg, x, step_cond, text, t,
-                drop_audio_cond=False, drop_text=False, mask=mask,
-            )
-    else:
-        # Batched CFG: cond+uncond in one 2B forward.
-        step_cond2 = jnp.concatenate([step_cond, step_cond])
-        text2 = jnp.concatenate([text, text])
-        mask2 = jnp.concatenate([mask, mask]) if mask is not None else None
-        drop = jnp.concatenate([jnp.zeros((b,), bool), jnp.ones((b,), bool)])
+        # the text embedding is ODE-step invariant: compute once, not per step
+        text_embed = dit_text_embed(params, dit_cfg, text, n, drop_text=False)
 
         def fn(t, x):
-            pred2 = dit_forward(
-                params, dit_cfg, jnp.concatenate([x, x]), step_cond2, text2, t,
-                drop_audio_cond=drop, drop_text=drop, mask=mask2,
+            return dit_forward_precomputed(
+                params, dit_cfg, x, step_cond, text_embed, t,
+                drop_audio_cond=False, mask=mask,
+            )
+    else:
+        # Batched CFG: cond+uncond in one 2B forward; both streams' (constant)
+        # text embeddings hoisted out of the scan.
+        step_cond2 = jnp.concatenate([step_cond, step_cond])
+        mask2 = jnp.concatenate([mask, mask]) if mask is not None else None
+        drop = jnp.concatenate([jnp.zeros((b,), bool), jnp.ones((b,), bool)])
+        text_embed2 = jnp.concatenate(
+            [
+                dit_text_embed(params, dit_cfg, text, n, drop_text=False),
+                dit_text_embed(params, dit_cfg, text, n, drop_text=True),
+            ]
+        )
+
+        def fn(t, x):
+            pred2 = dit_forward_precomputed(
+                params, dit_cfg, jnp.concatenate([x, x]), step_cond2, text_embed2, t,
+                drop_audio_cond=drop, mask=mask2,
             )
             pred, null_pred = pred2[:b], pred2[b:]
             return pred + (pred - null_pred) * cfg_strength
