@@ -187,6 +187,7 @@ class F5TTS:
         self._vocab_char_map = vocab_char_map
         self._vocoder = vocoder
         self._duration_predictor = duration_predictor
+        self._cast_cache: tuple | None = None
 
     # -- construction ------------------------------------------------------
 
@@ -212,6 +213,26 @@ class F5TTS:
         if self._vocab_char_map is not None:
             return list_str_to_idx(text, self._vocab_char_map)
         return list_str_to_tensor(text)
+
+    def _inference_params(self) -> Params:
+        """Params pre-cast to the compute dtype, cached per params object.
+
+        With bf16 compute, reading fp32 master weights doubles the weight HBM
+        traffic of every ODE step; the sampler uses a bf16 copy instead
+        (numerically identical to the per-use astype it replaces)."""
+        if jnp.dtype(self.dit_cfg.compute_dtype) == jnp.float32:
+            return self.params
+        if self._cast_cache is None or self._cast_cache[0] is not self.params:
+            dtype = jnp.dtype(self.dit_cfg.compute_dtype)
+            # one jitted call: per-leaf astype dispatches serialize terribly
+            # through the axon tunnel (hundreds of seconds for the base tree)
+            cast_fn = jax.jit(
+                lambda t: jax.tree.map(
+                    lambda x: x.astype(dtype) if x.dtype == jnp.float32 else x, t
+                )
+            )
+            self._cast_cache = (self.params, cast_fn(self.params))
+        return self._cast_cache[1]
 
     def _prepare_mel(self, inp: jax.Array) -> jax.Array:
         """Raw wave [b, nw] -> mel [b, n, d]; mel passes through.
@@ -344,7 +365,7 @@ class F5TTS:
         ts = jnp.asarray(sway_time_grid(steps, sway_sampling_coef))
 
         trajectory = cfm_sample_mel(
-            self.params,
+            self._inference_params(),
             self.dit_cfg,
             y0,
             step_cond,

@@ -97,7 +97,8 @@ def dit_forward_precomputed(
     t = B.timestep_embedding(params["time_embed"], time, dtype=dtype)
     x = B.input_embedding(params["input_embed"], x, cond, text_embed, drop_audio_cond=drop_audio_cond)
 
-    freqs = rotary_freqs(x.shape[1], cfg.dim_head)
+    raw = rotary_freqs(x.shape[1], cfg.dim_head)
+    freqs = (jnp.cos(raw), jnp.sin(raw))  # once per forward, not per layer
 
     def body(h, block_p):
         h = B.dit_block(

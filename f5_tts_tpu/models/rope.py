@@ -40,14 +40,21 @@ def rotate_half(x: jax.Array) -> jax.Array:
     return jnp.stack([-x2, x1], axis=-1).reshape(*x.shape[:-2], -1)
 
 
-def apply_rotary_pos_emb(t: jax.Array, freqs: jax.Array, scale=1.0) -> jax.Array:
+def apply_rotary_pos_emb(t: jax.Array, freqs, scale=1.0) -> jax.Array:
     """Rotate the first rot_dim channels of t [..., n, d] by freqs [n', rot_dim],
-    using the *last* seq_len rows of freqs (reference: rope.py:94-107)."""
-    rot_dim, seq_len = freqs.shape[-1], t.shape[-2]
-    freqs = freqs[-seq_len:, :]
+    using the *last* seq_len rows of freqs (reference: rope.py:94-107).
+
+    `freqs` may be a raw frequency table or a precomputed (cos, sin) pair —
+    callers in the sampling hot path precompute once instead of re-evaluating
+    the transcendentals in all layers."""
+    if isinstance(freqs, tuple):
+        cos, sin = freqs
+    else:
+        cos, sin = jnp.cos(freqs), jnp.sin(freqs)
+    rot_dim, seq_len = cos.shape[-1], t.shape[-2]
+    cos = cos[-seq_len:, :].astype(t.dtype)
+    sin = sin[-seq_len:, :].astype(t.dtype)
     t_rot, t_pass = t[..., :rot_dim], t[..., rot_dim:]
-    cos = jnp.cos(freqs).astype(t.dtype)
-    sin = jnp.sin(freqs).astype(t.dtype)
     t_rot = (t_rot * cos * scale) + (rotate_half(t_rot) * sin * scale)
     if t_pass.shape[-1] == 0:
         return t_rot
