@@ -31,6 +31,9 @@ def main() -> None:
     from f5_tts_tpu.config import F5TTS_V1_BASE, CFMConfig, VocosConfig
     from f5_tts_tpu.models.cfm import F5TTS
     from f5_tts_tpu.models.vocos import Vocos
+    from f5_tts_tpu.utils.profiling import enable_compilation_cache
+
+    enable_compilation_cache()
 
     dit_cfg = F5TTS_V1_BASE.replace(compute_dtype="bfloat16")
     vocoder = Vocos.init(jax.random.key(1), VocosConfig(compute_dtype="bfloat16"))

@@ -311,6 +311,9 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv: list[str] | None = None):
+    from f5_tts_tpu.utils.profiling import enable_compilation_cache
+
+    enable_compilation_cache()
     args = build_parser().parse_args(argv)
 
     if args.text is None:

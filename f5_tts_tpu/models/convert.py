@@ -69,11 +69,14 @@ class _State:
             # MLX-quantized linear: packed uint32 weight + group scales/biases
             from f5_tts_tpu.models.quant import unpack_mlx_uint32
 
-            q = unpack_mlx_uint32(self.take(f"{key}.weight"), self.quant_bits)  # [out, in] uint8
+            codes = unpack_mlx_uint32(self.take(f"{key}.weight"), self.quant_bits)  # [out, in] uint8
+            offset = 1 << (self.quant_bits - 1)
+            scales = self.take(f"{key}.scales")  # [out, in/64]
+            biases = self.take(f"{key}.biases") + offset * scales  # absorb code offset
             p: Params = {
-                "q": jnp.asarray(q.T),  # [in, out]
-                "scales": jnp.asarray(self.take(f"{key}.scales").T),  # [in/64, out]
-                "biases": jnp.asarray(self.take(f"{key}.biases").T),
+                "q": jnp.asarray((codes.astype(np.int16) - offset).astype(np.int8).T),
+                "scales": jnp.asarray(scales.T),  # [in/64, out]
+                "biases": jnp.asarray(biases.T),
             }
         else:
             p = {"kernel": jnp.asarray(self.take(f"{key}.weight").T)}

@@ -100,11 +100,16 @@ def dit_forward_precomputed(
     raw = rotary_freqs(x.shape[1], cfg.dim_head)
     freqs = (jnp.cos(raw), jnp.sin(raw))  # once per forward, not per layer
 
-    def body(h, block_p):
-        h = B.dit_block(
+    def block_fn(h, block_p):
+        return B.dit_block(
             block_p, h, t, cfg.heads, mask=mask, rope_freqs=freqs, use_flash=cfg.use_flash_attention
         )
-        return h, None
+
+    if cfg.remat:
+        block_fn = jax.checkpoint(block_fn)
+
+    def body(h, block_p):
+        return block_fn(h, block_p), None
 
     x, _ = jax.lax.scan(body, x, params["blocks"])
 

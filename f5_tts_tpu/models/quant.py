@@ -11,9 +11,11 @@ uint32 words. This module
     dequant-in-kernel path lives in ops/qmatmul.py (Pallas).
 
 Quantized linear param layout (kernel is [in, out] in this codebase):
-  q:      uint8 [in, out]        (values in [0, 2^bits))
+  q:      int8  [in, out]        (codes centered by -2^(bits-1); the offset is
+                                  absorbed into `biases`, so Pallas/MXU paths
+                                  get a natively supported signed dtype)
   scales: f32   [in/64, out]
-  biases: f32   [in/64, out]
+  biases: f32   [in/64, out]     (= group_min + 2^(bits-1) * scales)
   dequant(w) = q * repeat(scales, 64, 0) + repeat(biases, 64, 0)
 """
 
@@ -55,15 +57,17 @@ def quantize_kernel(kernel: np.ndarray, bits: int, group_size: int = GROUP_SIZE)
     g = kernel.reshape(d_in // group_size, group_size, d_out)
     w_min = g.min(axis=1)  # [groups, out]
     w_max = g.max(axis=1)
+    offset = 1 << (bits - 1)
     scales = (w_max - w_min) / levels
     scales = np.where(scales == 0, 1e-8, scales).astype(np.float32)
-    biases = w_min.astype(np.float32)
-    q = np.rint((g - biases[:, None, :]) / scales[:, None, :])
-    q = np.clip(q, 0, levels).astype(np.uint8).reshape(d_in, d_out)
+    w_min = w_min.astype(np.float32)
+    codes = np.rint((g - w_min[:, None, :]) / scales[:, None, :])
+    codes = np.clip(codes, 0, levels)
+    q = (codes - offset).astype(np.int8).reshape(d_in, d_out)
     return {
         "q": jnp.asarray(q),
         "scales": jnp.asarray(scales),
-        "biases": jnp.asarray(biases),
+        "biases": jnp.asarray(w_min + offset * scales),
     }
 
 

@@ -140,10 +140,12 @@ def test_quantized_checkpoint_conversion():
     for k, v in state.items():
         if k.endswith(".weight") and v.ndim == 2 and v.shape[1] % 64 == 0 and "text_embed.text_embed" not in k:
             qp = quantize_kernel(np.asarray(v).T, bits)  # our [in,out] layout
-            q = np.asarray(qp["q"]).T  # [out, in]
-            qstate[k] = pack_mlx_uint32(q, bits)
+            offset = 1 << (bits - 1)
+            codes = (np.asarray(qp["q"]).astype(np.int16) + offset).astype(np.uint8).T  # MLX unsigned codes [out, in]
+            qstate[k] = pack_mlx_uint32(codes, bits)
             qstate[k[: -len(".weight")] + ".scales"] = np.asarray(qp["scales"]).T
-            qstate[k[: -len(".weight")] + ".biases"] = np.asarray(qp["biases"]).T
+            # MLX biases exclude the code offset
+            qstate[k[: -len(".weight")] + ".biases"] = np.asarray(qp["biases"] - offset * qp["scales"]).T
         else:
             qstate[k] = v
 

@@ -1,0 +1,76 @@
+"""Pallas op wrappers (interpret mode on CPU), remat, and profiling utils."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from f5_tts_tpu.config import CFMConfig, DiTConfig
+from f5_tts_tpu.models.cfm import cfm_loss
+from f5_tts_tpu.models.dit import dit_forward, init_dit
+from f5_tts_tpu.models.quant import dequantize_kernel, quantize_kernel
+from f5_tts_tpu.ops.qmatmul import qmatmul
+
+
+def test_qmatmul_matches_dequant():
+    rng = np.random.default_rng(0)
+    k, n, m = 128, 256, 48
+    w = rng.standard_normal((k, n)).astype(np.float32) * 0.1
+    for bits in (4, 8):
+        p = quantize_kernel(w, bits)
+        x = jnp.asarray(rng.standard_normal((m, k)).astype(np.float32))
+        got = np.asarray(qmatmul(x, p))
+        want = np.asarray(x @ dequantize_kernel(p))
+        np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+
+
+def test_qmatmul_batched_leading_dims():
+    rng = np.random.default_rng(1)
+    k, n = 128, 128
+    p = quantize_kernel(rng.standard_normal((k, n)).astype(np.float32), 8)
+    x = jnp.asarray(rng.standard_normal((2, 24, k)).astype(np.float32))
+    got = np.asarray(qmatmul(x, p))
+    assert got.shape == (2, 24, n)
+    want = np.asarray(x.reshape(-1, k) @ dequantize_kernel(p)).reshape(2, 24, n)
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+
+
+def test_remat_same_values_and_grads():
+    cfg = DiTConfig(
+        dim=64, depth=2, heads=2, dim_head=32, ff_mult=2, mel_dim=16,
+        text_num_embeds=32, text_dim=16, conv_layers=1, use_flash_attention=False,
+    )
+    params = init_dit(jax.random.key(0), cfg)
+    x = jax.random.normal(jax.random.key(1), (1, 24, 16))
+    cond = jnp.zeros_like(x)
+    text = jnp.array([[1, 2, -1]])
+    time = jnp.array([0.5])
+
+    cfg_r = cfg.replace(remat=True)
+    o1 = dit_forward(params, cfg, x, cond, text, time)
+    o2 = dit_forward(params, cfg_r, x, cond, text, time)
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=1e-6)
+
+    mel = jax.random.normal(jax.random.key(2), (1, 24, 16))
+    lens = jnp.array([24])
+    g1 = jax.grad(lambda p: cfm_loss(p, cfg, CFMConfig(), jax.random.key(3), mel, text, lens))(params)
+    g2 = jax.grad(lambda p: cfm_loss(p, cfg_r, CFMConfig(), jax.random.key(3), mel, text, lens))(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_timer_and_sync():
+    from f5_tts_tpu.utils.profiling import Timer, device_sync
+
+    x = jnp.ones((8, 8)) * 2
+    device_sync(x)  # no crash on plain arrays
+    with Timer("t", verbose=False) as t:
+        y = x @ x
+        t.sync(y)
+    assert t.elapsed is not None and t.elapsed >= 0
+
+
+def test_compilation_cache_config(tmp_path):
+    from f5_tts_tpu.utils.profiling import enable_compilation_cache
+
+    enable_compilation_cache(str(tmp_path / "cache"))
+    assert (tmp_path / "cache").exists()
