@@ -294,11 +294,14 @@ class F5TTS:
         sway_sampling_coef: float | None = -1.0,
         seed: int | None = None,
         max_duration: int | None = None,
+        y0: jax.Array | None = None,
     ) -> tuple[jax.Array, jax.Array]:
         """Zero-shot synthesis (reference: cfm.py:264-402).
 
         Returns (waveform or mel, trajectory). The mel is trimmed to the true
-        max duration; the trajectory is [steps, b, n, d].
+        max duration; the trajectory is [steps, b, n, d]. `y0` overrides the
+        initial noise (e.g. noise exported from the MLX reference for
+        bit-level trajectory parity, since the PRNGs differ).
         """
         max_duration = max_duration or self.cfm_cfg.max_duration
         cond = jnp.asarray(cond)
@@ -348,7 +351,10 @@ class F5TTS:
         # noise; per the reference's quirk, a fixed seed reuses the SAME noise
         # for every batch item (cfm.py:369-375)
         d = self.num_channels
-        if seed is not None:
+        if y0 is not None:
+            y0 = jnp.asarray(y0, dtype=jnp.float32)
+            y0 = jnp.pad(y0, ((0, 0), (0, padded_len - y0.shape[1]), (0, 0)))
+        elif seed is not None:
             noise = jax.random.normal(jax.random.key(seed), (padded_len, d))
             y0 = jnp.broadcast_to(noise, (batch, padded_len, d))
         else:

@@ -1,0 +1,74 @@
+"""Batched-synthesis throughput: utterances/sec/chip at 32 ODE steps.
+
+Complements bench.py's single-utterance RTF with the serving-style metric
+from BASELINE.json ("RTF + utterances/sec/chip at 32 ODE steps"): one chip,
+a batch of utterances through one pjit'd forward.
+
+Usage: python tools/throughput.py [--batch 8] [--steps 32] [--seconds 10]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--steps", type=int, default=32)
+    ap.add_argument("--seconds", type=float, default=10.0)
+    ap.add_argument("--runs", type=int, default=3)
+    args = ap.parse_args()
+
+    from f5_tts_tpu.config import F5TTS_V1_BASE, CFMConfig, VocosConfig
+    from f5_tts_tpu.models.cfm import F5TTS
+    from f5_tts_tpu.models.vocos import Vocos
+
+    dit_cfg = F5TTS_V1_BASE.replace(compute_dtype="bfloat16")
+    vocoder = Vocos.init(jax.random.key(1), VocosConfig(compute_dtype="bfloat16"))
+    model = F5TTS.init(jax.random.key(0), dit_cfg, cfm_cfg=CFMConfig(), vocoder=vocoder.decode)
+
+    sr = model.audio_cfg.sample_rate
+    ref = (0.1 * np.sin(2 * np.pi * 220 * np.arange(2 * sr) / sr)).astype(np.float32)
+    cond = jnp.broadcast_to(jnp.asarray(ref)[None, :], (args.batch, ref.shape[0]))
+    cond_mel = model._mel_spec(cond)
+    texts = ["benchmark utterance for throughput measurement"] * args.batch
+    duration = int(args.seconds * model.audio_cfg.frames_per_second)
+
+    def run():
+        wave, _ = model.sample(
+            cond_mel, text=texts, duration=duration, steps=args.steps,
+            method="euler", cfg_strength=2.0, sway_sampling_coef=-1.0, seed=0,
+        )
+        np.asarray(wave[..., :8])  # axon-safe sync
+        return wave
+
+    run()  # warmup/compile
+    times = []
+    for _ in range(args.runs):
+        t0 = time.perf_counter()
+        run()
+        times.append(time.perf_counter() - t0)
+
+    wall = min(times)
+    print(
+        json.dumps(
+            {
+                "metric": f"utterances_per_sec_1chip_{args.steps}steps",
+                "value": round(args.batch / wall, 3),
+                "unit": "utt/s",
+                "batch": args.batch,
+                "rtf_amortized": round(wall / (args.batch * args.seconds), 5),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
