@@ -1,0 +1,295 @@
+"""Production serving: HTTP synthesis API with TPU micro-batching.
+
+The reference has no serving story (single-shot CLI only); this is the
+framework's deployment surface. Concurrent requests are grouped by a
+dynamic micro-batcher and executed as ONE batched `F5TTS.sample` call —
+the TPU-idiomatic serving pattern: the chip is nearly saturated by a single
+CFG-batched utterance, but batching amortizes dispatch latency and keeps one
+computation in flight. Mixed reference audios / texts / durations batch
+together through the existing per-item lens/duration support; requests are
+grouped by sampler settings + duration bucket so each group hits a cached
+compiled executable.
+
+Run:  python -m f5_tts_tpu.serve --model <repo-or-dir> --port 8930
+API:
+  GET  /healthz                -> {"status": "ok"}
+  POST /synthesize  (JSON)     -> audio/wav bytes
+        {"text": "...", "ref_text": "...", "ref_audio_b64": <optional wav>,
+         "duration": <optional seconds>, "steps": 8, "method": "rk4",
+         "cfg_strength": 2.0, "sway_sampling_coef": -1.0, "seed": null}
+"""
+
+from __future__ import annotations
+
+import argparse
+import base64
+import io
+import json
+import math
+import queue
+import threading
+import wave as wave_mod
+from concurrent.futures import Future
+from dataclasses import dataclass, field
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+from f5_tts_tpu.generate import DEFAULT_REF_TEXT, FRAMES_PER_SEC, SAMPLE_RATE, TARGET_RMS, _load_ref_audio, estimated_duration
+from f5_tts_tpu.utils.tokenizer import convert_char_to_pinyin
+
+
+@dataclass
+class _Request:
+    text: str
+    ref_audio: np.ndarray
+    ref_text: str
+    duration_frames: int
+    steps: int
+    method: str
+    cfg_strength: float
+    sway: float
+    seed: int | None
+    future: Future = field(default_factory=Future)
+
+    def group_key(self, bucket: int) -> tuple:
+        dur_bucket = math.ceil(max(self.duration_frames, 1) / bucket)
+        ref_bucket = math.ceil(max(self.ref_audio.shape[0] // 256, 1) / bucket)
+        return (self.steps, self.method, self.cfg_strength, self.sway, self.seed,
+                dur_bucket, ref_bucket)
+
+
+class MicroBatcher(threading.Thread):
+    """Collects requests for up to `max_wait_ms`, groups compatible ones, and
+    runs each group as one batched sample() call."""
+
+    def __init__(self, model, max_batch: int = 8, max_wait_ms: float = 50.0):
+        super().__init__(daemon=True)
+        self.model = model
+        self.max_batch = max_batch
+        self.max_wait = max_wait_ms / 1000.0
+        self.queue: queue.Queue[_Request] = queue.Queue()
+        self._stop = threading.Event()
+
+    def submit(self, req: _Request) -> Future:
+        self.queue.put(req)
+        return req.future
+
+    def stop(self):
+        self._stop.set()
+
+    def run(self):
+        import time as _time
+
+        while not self._stop.is_set():
+            try:
+                first = self.queue.get(timeout=0.1)
+            except queue.Empty:
+                continue
+            batch = [first]
+            deadline = _time.monotonic() + self.max_wait
+            while len(batch) < self.max_batch:
+                timeout = deadline - _time.monotonic()
+                if timeout <= 0:
+                    break
+                try:
+                    batch.append(self.queue.get(timeout=timeout))
+                except queue.Empty:
+                    break
+
+            bucket = self.model.cfm_cfg.duration_bucket
+            groups: dict[tuple, list[_Request]] = {}
+            for r in batch:
+                groups.setdefault(r.group_key(bucket), []).append(r)
+            for group in groups.values():
+                self._run_group(group)
+
+    def _run_group(self, group: list[_Request]) -> None:
+        import jax.numpy as jnp
+
+        try:
+            b = len(group)
+            max_ref = max(r.ref_audio.shape[0] for r in group)
+            audio = np.zeros((b, max_ref), dtype=np.float32)
+            lens = np.zeros((b,), dtype=np.int32)
+            for i, r in enumerate(group):
+                audio[i, : r.ref_audio.shape[0]] = r.ref_audio
+                lens[i] = r.ref_audio.shape[0] // 256
+            cond_mel = self.model._mel_spec(jnp.asarray(audio))
+
+            texts = convert_char_to_pinyin([r.ref_text + " " + r.text for r in group])
+            durations = np.array([r.duration_frames for r in group], dtype=np.int32)
+
+            r0 = group[0]
+            wave, _ = self.model.sample(
+                cond_mel,
+                text=texts,
+                duration=durations,
+                lens=lens,
+                steps=r0.steps,
+                method=r0.method,
+                cfg_strength=r0.cfg_strength,
+                sway_sampling_coef=r0.sway,
+                seed=r0.seed,
+            )
+            wave = np.asarray(wave)
+            if wave.ndim == 1:
+                wave = wave[None, :]
+            for i, r in enumerate(group):
+                ref_samples = r.ref_audio.shape[0]
+                end = (int(durations[i]) - 1) * 256
+                r.future.set_result(wave[i, ref_samples : min(end, wave.shape[1])])
+        except Exception as e:  # pragma: no cover - error propagation
+            for r in group:
+                if not r.future.done():
+                    r.future.set_exception(e)
+
+
+def _wav_bytes(samples: np.ndarray, sample_rate: int) -> bytes:
+    pcm = (np.clip(samples, -1, 1) * 32767.0).astype("<i2")
+    buf = io.BytesIO()
+    with wave_mod.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(pcm.tobytes())
+    return buf.getvalue()
+
+
+def make_handler(batcher: MicroBatcher, default_ref: tuple[np.ndarray, str]):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):  # quiet
+            pass
+
+        def _json_error(self, code: int, msg: str):
+            body = json.dumps({"error": msg}).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                body = json.dumps({"status": "ok"}).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            else:
+                self._json_error(404, "not found")
+
+        def do_POST(self):
+            if self.path != "/synthesize":
+                return self._json_error(404, "not found")
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                payload = json.loads(self.rfile.read(length) or b"{}")
+            except (ValueError, json.JSONDecodeError):
+                return self._json_error(400, "invalid JSON body")
+
+            text = payload.get("text")
+            if not text or not isinstance(text, str):
+                return self._json_error(400, "missing required field: text")
+
+            try:
+                if "ref_audio_b64" in payload:
+                    from f5_tts_tpu.audio.io import read_wav
+
+                    raw = base64.b64decode(payload["ref_audio_b64"])
+                    import tempfile
+
+                    with tempfile.NamedTemporaryFile(suffix=".wav") as f:
+                        f.write(raw)
+                        f.flush()
+                        ref_audio, sr = read_wav(f.name)
+                    if sr != SAMPLE_RATE:
+                        return self._json_error(400, "reference audio must be 24kHz")
+                    if ref_audio.ndim > 1:
+                        ref_audio = ref_audio.mean(axis=-1)
+                    ref_text = payload.get("ref_text")
+                    if not ref_text:
+                        return self._json_error(400, "ref_text required with ref_audio_b64")
+                else:
+                    ref_audio, ref_text = default_ref
+                    ref_text = payload.get("ref_text", ref_text)
+
+                rms = float(np.sqrt(np.mean(np.square(ref_audio))))
+                if 0 < rms < TARGET_RMS:
+                    ref_audio = ref_audio * TARGET_RMS / rms
+
+                if payload.get("duration") is not None:
+                    dur_frames = int(float(payload["duration"]) * FRAMES_PER_SEC)
+                else:
+                    dur_frames = int(
+                        estimated_duration(ref_audio, ref_text, text,
+                                           float(payload.get("speed", 1.0))) * FRAMES_PER_SEC
+                    )
+
+                req = _Request(
+                    text=text,
+                    ref_audio=ref_audio.astype(np.float32),
+                    ref_text=ref_text,
+                    duration_frames=dur_frames,
+                    steps=int(payload.get("steps", 8)),
+                    method=str(payload.get("method", "rk4")),
+                    cfg_strength=float(payload.get("cfg_strength", 2.0)),
+                    sway=float(payload.get("sway_sampling_coef", -1.0)),
+                    seed=payload.get("seed"),
+                )
+                if req.method not in ("euler", "midpoint", "rk4"):
+                    return self._json_error(400, f"unknown method: {req.method}")
+
+                samples = batcher.submit(req).result(timeout=600)
+                body = _wav_bytes(samples, SAMPLE_RATE)
+                self.send_response(200)
+                self.send_header("Content-Type", "audio/wav")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            except Exception as e:
+                self._json_error(500, f"synthesis failed: {e}")
+
+    return Handler
+
+
+def serve(model, host: str = "0.0.0.0", port: int = 8930,
+          max_batch: int = 8, max_wait_ms: float = 50.0) -> ThreadingHTTPServer:
+    """Start the batching server (returns the running HTTPServer; call
+    .shutdown() to stop)."""
+    default_ref = _load_ref_audio(None, DEFAULT_REF_TEXT)
+    batcher = MicroBatcher(model, max_batch=max_batch, max_wait_ms=max_wait_ms)
+    batcher.start()
+    httpd = ThreadingHTTPServer((host, port), make_handler(batcher, default_ref))
+    httpd.batcher = batcher  # keep a handle for shutdown
+    thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    thread.start()
+    print(f"f5-tts-tpu serving on {host}:{port}")
+    return httpd
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description="f5-tts-tpu synthesis server")
+    ap.add_argument("--model", default="lucasnewman/f5-tts-mlx")
+    ap.add_argument("--host", default="0.0.0.0")
+    ap.add_argument("--port", type=int, default=8930)
+    ap.add_argument("--q", type=int, default=None)
+    ap.add_argument("--max-batch", type=int, default=8)
+    ap.add_argument("--max-wait-ms", type=float, default=50.0)
+    args = ap.parse_args(argv)
+
+    from f5_tts_tpu.models.cfm import F5TTS
+    from f5_tts_tpu.utils.profiling import enable_compilation_cache
+
+    enable_compilation_cache()
+    model = F5TTS.from_pretrained(args.model, quantization_bits=args.q)
+    httpd = serve(model, args.host, args.port, args.max_batch, args.max_wait_ms)
+    try:
+        threading.Event().wait()
+    except KeyboardInterrupt:
+        httpd.shutdown()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,116 @@
+"""Serving layer: HTTP API + micro-batcher, driven over a real socket with a
+tiny model."""
+
+import base64
+import json
+import threading
+import urllib.error
+import urllib.request
+
+import jax
+import numpy as np
+import pytest
+
+from f5_tts_tpu.audio.io import write_wav
+from f5_tts_tpu.config import CFMConfig, DiTConfig, VocosConfig
+from f5_tts_tpu.models.cfm import F5TTS
+from f5_tts_tpu.models.vocos import Vocos
+from f5_tts_tpu.serve import serve
+
+
+@pytest.fixture(scope="module")
+def server():
+    cfg = DiTConfig(
+        dim=64, depth=2, heads=2, dim_head=32, ff_mult=2, mel_dim=100,
+        text_num_embeds=256, text_dim=32, conv_layers=1, use_flash_attention=False,
+    )
+    vocoder = Vocos.init(jax.random.key(1), VocosConfig(dim=64, intermediate_dim=128, num_layers=2))
+    model = F5TTS.init(jax.random.key(0), cfg, cfm_cfg=CFMConfig(duration_bucket=64),
+                       vocoder=vocoder.decode)
+    httpd = serve(model, host="127.0.0.1", port=0, max_batch=4, max_wait_ms=80.0)
+    port = httpd.server_address[1]
+    yield f"http://127.0.0.1:{port}"
+    httpd.batcher.stop()
+    httpd.shutdown()
+
+
+def _post(url, payload, timeout=300):
+    req = urllib.request.Request(
+        url + "/synthesize",
+        data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"},
+        method="POST",
+    )
+    return urllib.request.urlopen(req, timeout=timeout)
+
+
+def test_healthz(server):
+    with urllib.request.urlopen(server + "/healthz", timeout=30) as r:
+        assert json.loads(r.read()) == {"status": "ok"}
+
+
+def test_synthesize_returns_wav(server):
+    with _post(server, {"text": "hello world", "duration": 6.5, "steps": 2,
+                        "method": "euler", "seed": 0}) as r:
+        assert r.headers["Content-Type"] == "audio/wav"
+        body = r.read()
+    assert body[:4] == b"RIFF"
+    assert len(body) > 24_000  # at least ~0.5s of 16-bit audio
+
+
+def test_concurrent_requests_batched(server):
+    """Several parallel requests must all complete (micro-batcher path)."""
+    results = {}
+
+    def hit(i):
+        with _post(server, {"text": f"request number {i}", "duration": 6.5,
+                            "steps": 2, "method": "euler", "seed": 0}) as r:
+            results[i] = r.read()
+
+    threads = [threading.Thread(target=hit, args=(i,)) for i in range(3)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    assert len(results) == 3
+    assert all(v[:4] == b"RIFF" for v in results.values())
+
+
+def test_custom_ref_audio(server, tmp_path):
+    ref = (0.2 * np.sin(2 * np.pi * 220 * np.arange(24_000) / 24_000)).astype(np.float32)
+    p = tmp_path / "ref.wav"
+    write_wav(p, ref, 24_000)
+    b64 = base64.b64encode(p.read_bytes()).decode()
+    with _post(server, {"text": "custom voice", "ref_audio_b64": b64,
+                        "ref_text": "a tone", "duration": 4.0, "steps": 2,
+                        "method": "euler"}) as r:
+        assert r.read()[:4] == b"RIFF"
+
+
+def test_missing_text_rejected(server):
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(server, {"duration": 2.0})
+    assert e.value.code == 400
+    assert "text" in json.loads(e.value.read())["error"]
+
+
+def test_bad_method_rejected(server):
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(server, {"text": "x", "duration": 6.0, "method": "dopri5"})
+    assert e.value.code == 400
+
+
+def test_invalid_json_rejected(server):
+    req = urllib.request.Request(
+        server + "/synthesize", data=b"{not json", method="POST",
+        headers={"Content-Type": "application/json"},
+    )
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req, timeout=30)
+    assert e.value.code == 400
+
+
+def test_unknown_route(server):
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(server + "/nope", timeout=30)
+    assert e.value.code == 404
