@@ -109,6 +109,52 @@ class Stream:
 
         return Stream(gen)
 
+    def dynamic_batch(
+        self,
+        buffer_size: int,
+        max_frames: int,
+        collate: Callable[[list], dict],
+        length_fn: Callable = None,
+        seed: int | None = None,
+    ) -> "Stream":
+        """Duration-aware batching: fill a buffer, sort by length, and cut
+        batches so that padded cost (max_len * batch_size) stays under
+        `max_frames`. The mlx.data `.dynamic_batch` equivalent the reference
+        driver has commented out (train_libritts_small.py:50) — sorting
+        adjacent-length clips together minimizes padding waste on the MXU."""
+        if length_fn is None:
+            length_fn = lambda s: s["audio"].shape[0] // HOP_LENGTH
+
+        def gen():
+            rng = random.Random(seed)
+
+            def emit(buf):
+                buf.sort(key=length_fn)
+                batches = []
+                cur: list = []
+                for item in buf:
+                    cost = (len(cur) + 1) * length_fn(item)  # items sorted: last is max
+                    if cur and cost > max_frames:
+                        batches.append(cur)
+                        cur = []
+                    cur.append(item)
+                if cur:
+                    batches.append(cur)
+                rng.shuffle(batches)
+                for b in batches:
+                    yield collate(b)
+
+            buf: list = []
+            for item in self._factory():
+                buf.append(item)
+                if len(buf) >= buffer_size:
+                    yield from emit(buf)
+                    buf = []
+            if buf:
+                yield from emit(buf)
+
+        return Stream(gen)
+
     def prefetch(self, prefetch_size: int = 2) -> "Stream":
         """Background-thread prefetch queue decoupling host I/O from the
         device step (the role of mlx.data's internal worker threads)."""

@@ -164,7 +164,12 @@ def generate(
 
     if play is None:
         play = output_path is None
-    player = AudioPlayer(sample_rate=SAMPLE_RATE) if play else None
+    player = None
+    if play:
+        try:
+            player = AudioPlayer(sample_rate=SAMPLE_RATE)
+        except (ImportError, OSError) as e:
+            print(f"live playback unavailable ({e}); synthesizing without it")
 
     if model is None:
         model = F5TTS.from_pretrained(model_name, quantization_bits=quantization_bits)

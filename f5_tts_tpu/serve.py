@@ -254,6 +254,27 @@ def make_handler(batcher: MicroBatcher, default_ref: tuple[np.ndarray, str]):
     return Handler
 
 
+def warmup(model, durations_sec: list[float], steps: int = 8, method: str = "rk4",
+           cfg_strength: float = 2.0, batch_sizes: tuple[int, ...] = (1,)) -> None:
+    """Pre-compile the duration buckets / batch sizes a deployment expects, so
+    the first real request doesn't pay the jit compile (~1 min per shape on a
+    cold chip)."""
+    import jax.numpy as jnp
+
+    sr = model.audio_cfg.sample_rate
+    ref = np.zeros((sr,), dtype=np.float32)
+    for b in batch_sizes:
+        cond = model._mel_spec(jnp.broadcast_to(jnp.asarray(ref)[None, :], (b, sr)))
+        for sec in durations_sec:
+            frames = int(sec * model.audio_cfg.frames_per_second)
+            wave, _ = model.sample(
+                cond, text=["warmup"] * b, duration=frames, steps=steps,
+                method=method, cfg_strength=cfg_strength, seed=0,
+            )
+            np.asarray(wave[..., :1])
+            print(f"warmed batch={b} duration={sec}s")
+
+
 def serve(model, host: str = "0.0.0.0", port: int = 8930,
           max_batch: int = 8, max_wait_ms: float = 50.0) -> ThreadingHTTPServer:
     """Start the batching server (returns the running HTTPServer; call
@@ -277,6 +298,9 @@ def main(argv=None):
     ap.add_argument("--q", type=int, default=None)
     ap.add_argument("--max-batch", type=int, default=8)
     ap.add_argument("--max-wait-ms", type=float, default=50.0)
+    ap.add_argument("--warmup", type=str, default=None,
+                    help="comma-separated durations (seconds) to pre-compile, e.g. '8,16,30'")
+    ap.add_argument("--warmup-steps", type=int, default=8)
     args = ap.parse_args(argv)
 
     from f5_tts_tpu.models.cfm import F5TTS
@@ -284,6 +308,8 @@ def main(argv=None):
 
     enable_compilation_cache()
     model = F5TTS.from_pretrained(args.model, quantization_bits=args.q)
+    if args.warmup:
+        warmup(model, [float(s) for s in args.warmup.split(",")], steps=args.warmup_steps)
     httpd = serve(model, args.host, args.port, args.max_batch, args.max_wait_ms)
     try:
         threading.Event().wait()

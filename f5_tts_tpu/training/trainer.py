@@ -61,17 +61,33 @@ def make_optimizer(
     return tx
 
 
-def init_train_state(params: Params, optimizer: optax.GradientTransformation) -> dict:
-    return {
+def init_train_state(
+    params: Params, optimizer: optax.GradientTransformation, ema: bool = False
+) -> dict:
+    state = {
         "params": params,
         "opt_state": optimizer.init(params),
         "step": jnp.zeros((), jnp.int32),
     }
+    if ema:
+        # distinct buffers (one jitted copy): aliasing params would double-
+        # donate under jit(donate_argnums=(0,))
+        state["ema"] = jax.jit(lambda t: jax.tree.map(lambda x: x + 0, t))(params)
+    return state
 
 
-def make_train_step(dit_cfg: DiTConfig, cfm_cfg: CFMConfig, optimizer: optax.GradientTransformation):
+def make_train_step(
+    dit_cfg: DiTConfig,
+    cfm_cfg: CFMConfig,
+    optimizer: optax.GradientTransformation,
+    ema_decay: float | None = None,
+):
     """Build the pure (state, batch, key) -> (state, loss) step. Callers jit it
-    (optionally with shardings; see parallel/mesh.py and __graft_entry__)."""
+    (optionally with shardings; see parallel/mesh.py and __graft_entry__).
+
+    With `ema_decay`, the state carries an exponential moving average of the
+    params — the form the published F5-TTS checkpoints are in ("ema_model.*"
+    keys; the reference trainer itself never maintains one, trainer.py)."""
 
     def train_step(state: dict, mel: jax.Array, text: jax.Array, lens: jax.Array, key: jax.Array):
         def loss_fn(p):
@@ -80,7 +96,12 @@ def make_train_step(dit_cfg: DiTConfig, cfm_cfg: CFMConfig, optimizer: optax.Gra
         loss, grads = jax.value_and_grad(loss_fn)(state["params"])
         updates, opt_state = optimizer.update(grads, state["opt_state"], state["params"])
         params = optax.apply_updates(state["params"], updates)
-        return {"params": params, "opt_state": opt_state, "step": state["step"] + 1}, loss
+        new_state = {"params": params, "opt_state": opt_state, "step": state["step"] + 1}
+        if ema_decay is not None:
+            new_state["ema"] = jax.tree.map(
+                lambda e, p: ema_decay * e + (1.0 - ema_decay) * p, state["ema"], params
+            )
+        return new_state, loss
 
     return train_step
 
@@ -97,6 +118,7 @@ class F5TTSTrainer:
         log_with_wandb: bool = False,
         results_dir: str = "results",
         mesh=None,
+        ema_decay: float | None = None,
     ):
         self.model = model
         self.num_warmup_steps = num_warmup_steps
@@ -105,6 +127,7 @@ class F5TTSTrainer:
         self.log_with_wandb = log_with_wandb
         self.results_dir = Path(results_dir)
         self.mesh = mesh
+        self.ema_decay = ema_decay
         self.state: dict | None = None
 
     # ------------------------------------------------------------ checkpoint
@@ -118,6 +141,11 @@ class F5TTSTrainer:
         flat = export_dit_state(self.state["params"] if self.state else self.model.params)
         save_file({k: np.asarray(v) for k, v in flat.items()},
                   self.results_dir / f"f5tts_{step}.safetensors")
+
+        if self.state is not None and "ema" in self.state:
+            ema_flat = export_dit_state(self.state["ema"])
+            save_file({k: np.asarray(v) for k, v in ema_flat.items()},
+                      self.results_dir / f"f5tts_{step}.ema.safetensors")
 
         if self.state is not None:
             self._save_train_state(step)
@@ -136,6 +164,9 @@ class F5TTSTrainer:
         self.model.params = convert_dit_state(flat, self.model.dit_cfg)
         if self.state is not None:
             self.state["params"] = self.model.params
+            ema_path = self.results_dir / f"f5tts_{step}.ema.safetensors"
+            if "ema" in self.state and ema_path.exists():
+                self.state["ema"] = convert_dit_state(load_file(ema_path), self.model.dit_cfg)
             ts_path = self.results_dir / f"f5tts_{step}.trainstate.pkl"
             if ts_path.exists():
                 import pickle
@@ -254,7 +285,7 @@ class F5TTSTrainer:
         optimizer = make_optimizer(
             learning_rate, weight_decay, self.num_warmup_steps, total_steps, self.max_grad_norm
         )
-        self.state = init_train_state(self.model.params, optimizer)
+        self.state = init_train_state(self.model.params, optimizer, ema=self.ema_decay is not None)
 
         start_step = 0
         if checkpoint is not None:
@@ -262,7 +293,9 @@ class F5TTSTrainer:
             start_step = checkpoint
             print(f"Starting training at step {start_step}")
 
-        step_fn = make_train_step(self.model.dit_cfg, self.model.cfm_cfg, optimizer)
+        step_fn = make_train_step(
+            self.model.dit_cfg, self.model.cfm_cfg, optimizer, ema_decay=self.ema_decay
+        )
         if self.mesh is not None:
             from f5_tts_tpu.parallel.mesh import shard_train_step
 
