@@ -295,6 +295,7 @@ class F5TTS:
         seed: int | None = None,
         max_duration: int | None = None,
         y0: jax.Array | None = None,
+        cfg_interval: tuple[float, float] | None = None,
     ) -> tuple[jax.Array, jax.Array]:
         """Zero-shot synthesis (reference: cfm.py:264-402).
 
@@ -302,12 +303,24 @@ class F5TTS:
         max duration; the trajectory is [steps, b, n, d]. `y0` overrides the
         initial noise (e.g. noise exported from the MLX reference for
         bit-level trajectory parity, since the PRNGs differ).
+
+        `cfg_interval=(lo, hi)` is an OPT-IN accelerator beyond the reference:
+        classifier-free guidance runs only for flow times t in [lo, hi]; steps
+        outside integrate the conditional stream alone (half the compute per
+        such step). Interval guidance is known to preserve or improve quality
+        in diffusion samplers; default None matches the reference exactly.
         """
         max_duration = max_duration or self.cfm_cfg.max_duration
         cond = jnp.asarray(cond)
         if cond.ndim == 2:
-            cond = cond.reshape(-1)  # "1 n -> n" (reference: cfm.py:283-284)
-            cond = self._mel_spec(cond)
+            # raw-wave input is single-item only, like the reference's
+            # "1 n -> n" rearrange (cfm.py:283-284); batched callers pass mel
+            if cond.shape[0] != 1:
+                raise ValueError(
+                    f"raw-wave cond must have batch 1, got {cond.shape[0]}; "
+                    "pass precomputed mel [b, n, d] for batched sampling"
+                )
+            cond = self._mel_spec(cond.reshape(-1))
             assert cond.shape[-1] == self.num_channels
         cond = cond.astype(jnp.float32)
 
@@ -368,20 +381,41 @@ class F5TTS:
         ncopy = min(text_np.shape[1], padded_len)
         text_ids[:, :ncopy] = text_np[:, :ncopy]
 
-        ts = jnp.asarray(sway_time_grid(steps, sway_sampling_coef))
+        ts_np = sway_time_grid(steps, sway_sampling_coef)
 
-        trajectory = cfm_sample_mel(
-            self._inference_params(),
-            self.dit_cfg,
-            y0,
-            step_cond,
-            jnp.asarray(text_ids),
-            dur_mask,
-            ts,
-            method=method,
-            cfg_strength=float(cfg_strength),
-            has_mask=True,
-        )
+        def integrate(y_start, ts_seg, cfg):
+            return cfm_sample_mel(
+                self._inference_params(),
+                self.dit_cfg,
+                y_start,
+                step_cond,
+                jnp.asarray(text_ids),
+                dur_mask,
+                jnp.asarray(ts_seg),
+                method=method,
+                cfg_strength=cfg,
+                has_mask=True,
+            )
+
+        if cfg_interval is None:
+            trajectory = integrate(y0, ts_np, float(cfg_strength))
+        else:
+            lo, hi = cfg_interval
+            # contiguous host-side segments: CFG on where t in [lo, hi]
+            active = (ts_np[:-1] >= lo) & (ts_np[:-1] <= hi)
+            pieces = []
+            y_cur = y0
+            i = 0
+            while i < len(ts_np) - 1:
+                j = i
+                while j < len(ts_np) - 1 and active[j] == active[i]:
+                    j += 1
+                seg = integrate(y_cur, ts_np[i : j + 1],
+                                float(cfg_strength) if active[i] else 0.0)
+                pieces.append(seg if not pieces else seg[1:])  # drop dup boundary
+                y_cur = seg[-1]
+                i = j
+            trajectory = jnp.concatenate(pieces, axis=0)
 
         sampled = trajectory[-1]
         out = jnp.where(cond_mask, cond, sampled)

@@ -118,12 +118,20 @@ class MicroBatcher(threading.Thread):
             cond_mel = self.model._mel_spec(jnp.asarray(audio))
 
             texts = convert_char_to_pinyin([r.ref_text + " " + r.text for r in group])
+            text_ids = self.model._tokenize(texts)
             durations = np.array([r.duration_frames for r in group], dtype=np.int32)
+            # mirror sample()'s duration clamp so per-item trimming stays
+            # aligned with what was actually generated (reference: cfm.py:301-318)
+            text_lens = (text_ids != -1).sum(axis=-1).astype(np.int32)
+            eff_lens = np.maximum(text_lens, lens)
+            durations = np.clip(
+                np.maximum(durations, eff_lens + 1), 0, self.model.cfm_cfg.max_duration
+            )
 
             r0 = group[0]
             wave, _ = self.model.sample(
                 cond_mel,
-                text=texts,
+                text=text_ids,
                 duration=durations,
                 lens=lens,
                 steps=r0.steps,

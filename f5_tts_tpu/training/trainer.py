@@ -119,6 +119,7 @@ class F5TTSTrainer:
         results_dir: str = "results",
         mesh=None,
         ema_decay: float | None = None,
+        use_orbax: bool = False,
     ):
         self.model = model
         self.num_warmup_steps = num_warmup_steps
@@ -128,6 +129,8 @@ class F5TTSTrainer:
         self.results_dir = Path(results_dir)
         self.mesh = mesh
         self.ema_decay = ema_decay
+        self.use_orbax = use_orbax
+        self.ckpt_mgr = None
         self.state: dict | None = None
 
     # ------------------------------------------------------------ checkpoint
@@ -148,7 +151,10 @@ class F5TTSTrainer:
                       self.results_dir / f"f5tts_{step}.ema.safetensors")
 
         if self.state is not None:
-            self._save_train_state(step)
+            if self.ckpt_mgr is not None:
+                self.ckpt_mgr.save(step, self.state)  # async full-state save
+            else:
+                self._save_train_state(step)
 
     def _save_train_state(self, step: int) -> None:
         import pickle
@@ -175,6 +181,20 @@ class F5TTSTrainer:
                     saved = pickle.load(f)
                 self.state["opt_state"] = jax.tree_util.tree_map(jnp.asarray, saved["opt_state"])
                 self.state["step"] = jnp.asarray(saved["step"], jnp.int32)
+
+    def _latest_checkpoint_step(self) -> int | None:
+        """Newest step across orbax and safetensors checkpoints (crash-resume
+        entry point: train(..., checkpoint="latest"))."""
+        steps = []
+        if self.ckpt_mgr is not None and self.ckpt_mgr.latest_step() is not None:
+            steps.append(self.ckpt_mgr.latest_step())
+        for p in self.results_dir.glob("f5tts_*.safetensors"):
+            stem = p.stem.split(".")[0]  # strip .ema
+            try:
+                steps.append(int(stem.removeprefix("f5tts_")))
+            except ValueError:
+                continue
+        return max(steps) if steps else None
 
     # ------------------------------------------------------------ sampling
 
@@ -270,7 +290,7 @@ class F5TTSTrainer:
         sample_reference_text: str | None = None,
         sample_generation_text: str | None = None,
         sample_generation_duration: float | None = None,
-        checkpoint: int | None = None,
+        checkpoint: int | str | None = None,  # step number or "latest"
         log_every: int = 10,
         seed: int = 0,
     ) -> None:
@@ -287,9 +307,23 @@ class F5TTSTrainer:
         )
         self.state = init_train_state(self.model.params, optimizer, ema=self.ema_decay is not None)
 
+        if self.use_orbax:
+            from f5_tts_tpu.training.checkpoints import TrainCheckpointManager
+
+            self.ckpt_mgr = TrainCheckpointManager(self.results_dir / "orbax")
+
+        if checkpoint == "latest":
+            checkpoint = self._latest_checkpoint_step()
+            if checkpoint is None:
+                print("No checkpoint found; starting fresh")
+
         start_step = 0
         if checkpoint is not None:
-            self.load_checkpoint(checkpoint)
+            if self.ckpt_mgr is not None and checkpoint in self.ckpt_mgr.all_steps():
+                self.state = self.ckpt_mgr.restore(checkpoint, self.state)
+                self.model.params = self.state["params"]
+            else:
+                self.load_checkpoint(checkpoint)
             start_step = checkpoint
             print(f"Starting training at step {start_step}")
 
@@ -367,6 +401,8 @@ class F5TTSTrainer:
 
         pbar.close()
         self.model.params = self.state["params"]
+        if self.ckpt_mgr is not None:
+            self.ckpt_mgr.wait()  # flush pending async checkpoint writes
         if self.log_with_wandb:
             import wandb
 

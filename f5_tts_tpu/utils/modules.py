@@ -58,7 +58,10 @@ def embedding(p: Params, ids: jax.Array, dtype=None) -> jax.Array:
     table = p["embedding"]
     if dtype is not None:
         table = table.astype(dtype)
-    return jnp.take(table, ids, axis=0)
+    # mode="clip": jax's default fills out-of-bounds gathers with NaN under
+    # jit, which silently poisons the whole sequence through attention if a
+    # token id ever exceeds the vocab; clipping gives defined behavior
+    return jnp.take(table, ids, axis=0, mode="clip")
 
 
 def layer_norm_init(dim: int) -> Params:
