@@ -243,11 +243,14 @@ def generate(
             )
         else:
             durations = np.asarray(model.predict_duration(cond_mel, jnp.asarray(text_ids), speed))
-        # replicate sample()'s duration clamp so each piece can be trimmed
-        # (reference: cfm.py:301-318)
+        # the same clamp sample() applies, so each piece trims correctly
+        from f5_tts_tpu.models.cfm import clamp_duration
+
         text_lens = (text_ids != -1).sum(axis=-1)
-        lens = np.maximum(text_lens, ref_frames)
-        durations = np.clip(np.maximum(lens + 1, durations), 0, model.cfm_cfg.max_duration)
+        durations = clamp_duration(
+            durations, np.full_like(text_lens, ref_frames), text_lens,
+            model.cfm_cfg.max_duration,
+        )
 
         waves, _ = model.sample(
             cond_mel,

@@ -148,6 +148,18 @@ def cfm_sample_mel(
     return odeint(fn, y0.astype(jnp.float32), ts.astype(jnp.float32), method)
 
 
+def clamp_duration(
+    duration: np.ndarray, lens: np.ndarray, text_lens: np.ndarray, max_duration: int
+) -> np.ndarray:
+    """The canonical duration clamp (reference: cfm.py:301-318): durations are
+    at least max(text_lens, ref_lens) + 1 frames and at most max_duration.
+    Shared by sample(), generate(), and the serving batcher so per-item wave
+    trimming always agrees with what was generated."""
+    eff_lens = np.maximum(np.asarray(text_lens, np.int32), np.asarray(lens, np.int32))
+    duration = np.maximum(eff_lens + 1, np.asarray(duration, np.int32))
+    return np.clip(duration, 0, max_duration)
+
+
 def sway_time_grid(steps: int, sway_sampling_coef: float | None, t_start: float = 0.0) -> np.ndarray:
     """linspace warped by sway sampling t += s*(cos(pi/2 t) - 1 + t)
     (reference: cfm.py:379-381)."""
@@ -214,6 +226,17 @@ class F5TTS:
             return list_str_to_idx(text, self._vocab_char_map)
         return list_str_to_tensor(text)
 
+    def _validate_text_ids(self, text_np: np.ndarray) -> None:
+        """Host-side vocab check: ids must be in [-1, text_num_embeds - 1].
+        The device-side gather clips (no NaN), but a vocab/config mismatch
+        should fail loudly here rather than silently alias embeddings."""
+        if text_np.size and int(text_np.max()) >= self.dit_cfg.text_num_embeds:
+            raise ValueError(
+                f"text id {int(text_np.max())} out of range for "
+                f"text_num_embeds={self.dit_cfg.text_num_embeds}; the vocab "
+                "used for tokenization does not match the model config"
+            )
+
     def _inference_params(self) -> Params:
         """Params pre-cast to the compute dtype, cached per params object.
 
@@ -263,6 +286,7 @@ class F5TTS:
         if isinstance(text, list):
             text = self._tokenize(text)
             assert text.shape[0] == batch
+        self._validate_text_ids(np.asarray(text))
         text = jnp.asarray(text)
         if lens is None:
             lens = jnp.full((batch,), seq_len, dtype=jnp.int32)
@@ -335,6 +359,7 @@ class F5TTS:
             text = self._tokenize(text)
             assert text.shape[0] == batch
         text_np = np.asarray(text, dtype=np.int32)
+        self._validate_text_ids(text_np)
         text_lens = (text_np != -1).sum(axis=-1).astype(np.int32)
         lens_np = np.maximum(text_lens, lens_np)
 
@@ -346,9 +371,7 @@ class F5TTS:
             duration = self.predict_duration(cond, jnp.asarray(text_np), speed)
         if isinstance(duration, (int, np.integer)):
             duration = np.full((batch,), duration, dtype=np.int32)
-        duration = np.asarray(duration, dtype=np.int32)
-        duration = np.maximum(lens_np + 1, duration)
-        duration = np.clip(duration, 0, max_duration)
+        duration = clamp_duration(duration, lens_np, text_lens, max_duration)
         max_dur = int(duration.max())
 
         # static-shape bucketing: pad to a multiple of duration_bucket frames
@@ -397,7 +420,7 @@ class F5TTS:
                 has_mask=True,
             )
 
-        if cfg_interval is None:
+        if cfg_interval is None or len(ts_np) < 2:
             trajectory = integrate(y0, ts_np, float(cfg_strength))
         else:
             lo, hi = cfg_interval

@@ -120,13 +120,13 @@ class MicroBatcher(threading.Thread):
             texts = convert_char_to_pinyin([r.ref_text + " " + r.text for r in group])
             text_ids = self.model._tokenize(texts)
             durations = np.array([r.duration_frames for r in group], dtype=np.int32)
-            # mirror sample()'s duration clamp so per-item trimming stays
-            # aligned with what was actually generated (reference: cfm.py:301-318)
+            # the same clamp sample() applies, so per-item trimming stays
+            # aligned with what was actually generated
+            from f5_tts_tpu.models.cfm import clamp_duration
+
             text_lens = (text_ids != -1).sum(axis=-1).astype(np.int32)
-            eff_lens = np.maximum(text_lens, lens)
-            durations = np.clip(
-                np.maximum(durations, eff_lens + 1), 0, self.model.cfm_cfg.max_duration
-            )
+            durations = clamp_duration(durations, lens, text_lens,
+                                       self.model.cfm_cfg.max_duration)
 
             r0 = group[0]
             wave, _ = self.model.sample(
@@ -144,9 +144,11 @@ class MicroBatcher(threading.Thread):
             if wave.ndim == 1:
                 wave = wave[None, :]
             for i, r in enumerate(group):
-                ref_samples = r.ref_audio.shape[0]
+                # frame-quantized boundaries: generated content starts at the
+                # reference's mel-frame edge, not the raw sample count
+                start = int(lens[i]) * 256
                 end = (int(durations[i]) - 1) * 256
-                r.future.set_result(wave[i, ref_samples : min(end, wave.shape[1])])
+                r.future.set_result(wave[i, start : min(end, wave.shape[1])])
         except Exception as e:  # pragma: no cover - error propagation
             for r in group:
                 if not r.future.done():

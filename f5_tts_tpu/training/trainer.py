@@ -156,6 +156,31 @@ class F5TTSTrainer:
             else:
                 self._save_train_state(step)
 
+    def _restore_orbax(self, step: int) -> dict:
+        """Restore the full state; tolerate a changed ema_decay setting by
+        adapting the 'ema' subtree instead of failing on a pytree mismatch."""
+        import jax as _jax
+
+        try:
+            return self.ckpt_mgr.restore(step, self.state)
+        except (ValueError, KeyError):
+            has_ema_now = "ema" in self.state
+            alt = dict(self.state)
+            if has_ema_now:
+                alt.pop("ema")  # checkpoint was written without EMA
+            else:
+                alt["ema"] = _jax.tree.map(lambda x: x, self.state["params"])
+            restored = self.ckpt_mgr.restore(step, alt)
+            if has_ema_now:
+                print("warning: checkpoint has no EMA; re-initializing EMA from params")
+                restored["ema"] = _jax.jit(lambda t: _jax.tree.map(lambda x: x + 0, t))(
+                    restored["params"]
+                )
+            else:
+                print("warning: checkpoint has EMA but ema_decay is None; dropping it")
+                restored.pop("ema", None)
+            return restored
+
     def _save_train_state(self, step: int) -> None:
         import pickle
 
@@ -183,11 +208,17 @@ class F5TTSTrainer:
                 self.state["step"] = jnp.asarray(saved["step"], jnp.int32)
 
     def _latest_checkpoint_step(self) -> int | None:
-        """Newest step across orbax and safetensors checkpoints (crash-resume
-        entry point: train(..., checkpoint="latest"))."""
+        """Newest resumable step (crash-resume entry: checkpoint="latest").
+
+        With orbax enabled, orbax's committed steps are authoritative — a
+        newer weights-only safetensors file can exist when a crash landed
+        between the synchronous safetensors write and the async orbax commit,
+        and resuming from it would silently lose optimizer/schedule state."""
+        if self.ckpt_mgr is not None:
+            latest = self.ckpt_mgr.latest_step()
+            if latest is not None:
+                return int(latest)
         steps = []
-        if self.ckpt_mgr is not None and self.ckpt_mgr.latest_step() is not None:
-            steps.append(self.ckpt_mgr.latest_step())
         for p in self.results_dir.glob("f5tts_*.safetensors"):
             stem = p.stem.split(".")[0]  # strip .ema
             try:
@@ -320,9 +351,14 @@ class F5TTSTrainer:
         start_step = 0
         if checkpoint is not None:
             if self.ckpt_mgr is not None and checkpoint in self.ckpt_mgr.all_steps():
-                self.state = self.ckpt_mgr.restore(checkpoint, self.state)
+                self.state = self._restore_orbax(checkpoint)
                 self.model.params = self.state["params"]
             else:
+                if self.ckpt_mgr is not None:
+                    print(
+                        f"warning: step {checkpoint} not in orbax; resuming "
+                        "weights-only from safetensors (optimizer state reset)"
+                    )
                 self.load_checkpoint(checkpoint)
             start_step = checkpoint
             print(f"Starting training at step {start_step}")
@@ -348,63 +384,68 @@ class F5TTSTrainer:
 
         pbar = tqdm(initial=start_step, total=total_steps, desc="", unit="step")
 
-        for batch in train_dataset:
-            mel_spec = jnp.asarray(batch["mel_spec"])
-            if mel_spec.ndim == 4:  # [b, 1, n, d] from per-item mel transforms
-                mel_spec = mel_spec[:, 0]
-            mel_lens = jnp.asarray(batch["mel_len"], dtype=jnp.int32).reshape(-1)
+        try:
+            for batch in train_dataset:
+                mel_spec = jnp.asarray(batch["mel_spec"])
+                if mel_spec.ndim == 4:  # [b, 1, n, d] from per-item mel transforms
+                    mel_spec = mel_spec[:, 0]
+                mel_lens = jnp.asarray(batch["mel_len"], dtype=jnp.int32).reshape(-1)
 
-            seq_len = mel_spec.shape[1]
-            text = np.asarray(batch["transcript"])
-            if text.ndim == 3:
-                text = text[:, :, 0] if text.shape[-1] == 1 else text[:, 0]
-            if text.shape[-1] < seq_len:
-                text = np.pad(text, ((0, 0), (0, seq_len - text.shape[-1])), constant_values=-1)
-            text = jnp.asarray(text[:, :seq_len], dtype=jnp.int32)
+                seq_len = mel_spec.shape[1]
+                text = np.asarray(batch["transcript"])
+                if text.ndim == 3:
+                    text = text[:, :, 0] if text.shape[-1] == 1 else text[:, 0]
+                if text.shape[-1] < seq_len:
+                    text = np.pad(text, ((0, 0), (0, seq_len - text.shape[-1])), constant_values=-1)
+                text = jnp.asarray(text[:, :seq_len], dtype=jnp.int32)
 
-            key = jax.random.fold_in(root_key, global_step)
-            self.state, loss = train_step(self.state, mel_spec, text, mel_lens, key)
+                key = jax.random.fold_in(root_key, global_step)
+                self.state, loss = train_step(self.state, mel_spec, text, mel_lens, key)
 
-            global_step += 1
-            if global_step % log_every == 0 or global_step == start_step + 1:
-                loss_val = float(loss)
-                batch_len = int(mel_lens.sum())
-                if self.log_with_wandb:
-                    import wandb
+                global_step += 1
+                if global_step % log_every == 0 or global_step == start_step + 1:
+                    loss_val = float(loss)
+                    batch_len = int(mel_lens.sum())
+                    if self.log_with_wandb:
+                        import wandb
 
-                    wandb.log({"loss": loss_val, "batch_len": batch_len}, step=global_step)
-                pbar.set_postfix({"loss": f"{loss_val:.4f}", "batch_len": f"{batch_len:04d}"})
-            pbar.update(1)
+                        wandb.log({"loss": loss_val, "batch_len": batch_len}, step=global_step)
+                    pbar.set_postfix({"loss": f"{loss_val:.4f}", "batch_len": f"{batch_len:04d}"})
+                pbar.update(1)
 
-            if global_step % save_every == 0:
-                self.model.params = self.state["params"]
-                self.save_checkpoint(global_step)
+                if global_step % save_every == 0:
+                    self.model.params = self.state["params"]
+                    self.save_checkpoint(global_step)
 
-            if (
-                global_step % sample_every == 0
-                and sample_reference_audio is not None
-                and sample_reference_text is not None
-                and sample_generation_text is not None
-                and sample_generation_duration is not None
-            ):
-                self.model.params = self.state["params"]
-                self.generate_sample(
-                    sample_reference_audio,
-                    sample_reference_text,
-                    sample_generation_text,
-                    sample_generation_duration,
-                    global_step,
-                )
+                if (
+                    global_step % sample_every == 0
+                    and sample_reference_audio is not None
+                    and sample_reference_text is not None
+                    and sample_generation_text is not None
+                    and sample_generation_duration is not None
+                ):
+                    self.model.params = self.state["params"]
+                    self.generate_sample(
+                        sample_reference_audio,
+                        sample_reference_text,
+                        sample_generation_text,
+                        sample_generation_duration,
+                        global_step,
+                    )
 
-            if global_step >= total_steps:
-                break
+                if global_step >= total_steps:
+                    break
 
-        pbar.close()
-        self.model.params = self.state["params"]
-        if self.ckpt_mgr is not None:
-            self.ckpt_mgr.wait()  # flush pending async checkpoint writes
-        if self.log_with_wandb:
-            import wandb
+        finally:
+            pbar.close()
+            self.model.params = self.state["params"]
+            if self.ckpt_mgr is not None:
+                # flush pending async writes even on an exception mid-loop,
+                # so the newest checkpoint is never lost to a crash
+                self.ckpt_mgr.wait()
+            if self.log_with_wandb:
+                import wandb
 
-            wandb.finish()
+                wandb.finish()
+
         print(f"Training complete in {datetime.datetime.now() - training_start_date}")
