@@ -60,6 +60,7 @@ def main() -> None:
             cfg_strength=2.0,
             sway_sampling_coef=-1.0,
             seed=0,
+            return_trajectory=False,  # serving configuration: no trajectory materialization
         )
         # force completion with a host readback: on the axon tunnel backend
         # block_until_ready returns before execution finishes

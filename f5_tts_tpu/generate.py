@@ -198,6 +198,7 @@ def generate(
             cfg_strength=cfg_strength,
             sway_sampling_coef=sway_sampling_coef,
             seed=seed,
+            return_trajectory=False,
         )
         return np.asarray(wave)[audio.shape[0] :]
 
@@ -262,6 +263,7 @@ def generate(
             cfg_strength=cfg_strength,
             sway_sampling_coef=sway_sampling_coef,
             seed=seed,
+            return_trajectory=False,
         )
         waves = np.asarray(waves)
         pieces = []

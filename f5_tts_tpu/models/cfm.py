@@ -97,7 +97,7 @@ def cfm_loss(
 # ------------------------------------------------------------------ sampling
 
 
-@partial(jax.jit, static_argnames=("dit_cfg", "method", "cfg_strength", "has_mask"))
+@partial(jax.jit, static_argnames=("dit_cfg", "method", "cfg_strength", "has_mask", "return_trajectory"))
 def cfm_sample_mel(
     params: Params,
     dit_cfg: DiTConfig,
@@ -109,8 +109,10 @@ def cfm_sample_mel(
     method: str = "rk4",
     cfg_strength: float = 2.0,
     has_mask: bool = True,
+    return_trajectory: bool = True,
 ) -> jax.Array:
-    """Integrate the flow ODE; returns trajectory [steps, b, n, d]
+    """Integrate the flow ODE; returns trajectory [steps, b, n, d], or just
+    [1, b, n, d] (the final state) when return_trajectory=False
     (reference: cfm.py:338-393)."""
     del has_mask  # only disambiguates the jit cache when mask is None
     b, n = y0.shape[0], y0.shape[1]
@@ -145,7 +147,8 @@ def cfm_sample_mel(
             pred, null_pred = pred2[:b], pred2[b:]
             return pred + (pred - null_pred) * cfg_strength
 
-    return odeint(fn, y0.astype(jnp.float32), ts.astype(jnp.float32), method)
+    return odeint(fn, y0.astype(jnp.float32), ts.astype(jnp.float32), method,
+                  return_trajectory=return_trajectory)
 
 
 def clamp_duration(
@@ -320,6 +323,7 @@ class F5TTS:
         max_duration: int | None = None,
         y0: jax.Array | None = None,
         cfg_interval: tuple[float, float] | None = None,
+        return_trajectory: bool = True,
     ) -> tuple[jax.Array, jax.Array]:
         """Zero-shot synthesis (reference: cfm.py:264-402).
 
@@ -418,6 +422,7 @@ class F5TTS:
                 method=method,
                 cfg_strength=cfg,
                 has_mask=True,
+                return_trajectory=return_trajectory,
             )
 
         if cfg_interval is None or len(ts_np) < 2:

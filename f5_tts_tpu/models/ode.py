@@ -39,11 +39,16 @@ _STEPPERS = {"euler": _euler_step, "midpoint": _midpoint_step, "rk4": _rk4_step}
 METHODS = tuple(_STEPPERS)
 
 
-def odeint(func: FlowFn, y0: jax.Array, t: jax.Array, method: str = "rk4") -> jax.Array:
+def odeint(
+    func: FlowFn, y0: jax.Array, t: jax.Array, method: str = "rk4",
+    return_trajectory: bool = True,
+) -> jax.Array:
     """Integrate dy/dt = func(t, y) over the (static-length) time grid `t`.
 
-    Returns the full trajectory [len(t), *y0.shape] with y0 first, matching the
-    reference solvers' stacked output (cfm.py:47-61).
+    With return_trajectory (default), returns [len(t), *y0.shape] with y0
+    first, matching the reference solvers' stacked output (cfm.py:47-61);
+    otherwise returns only the final state (no per-step HBM writes — the
+    serving path never reads the trajectory).
     """
     if method not in _STEPPERS:
         raise ValueError(f"Unknown method: {method}; expected one of {METHODS}")
@@ -52,7 +57,9 @@ def odeint(func: FlowFn, y0: jax.Array, t: jax.Array, method: str = "rk4") -> ja
     def step(y, tt):
         t_cur, t_next = tt
         y_next = stepper(func, y, t_cur, t_next - t_cur)
-        return y_next, y_next
+        return y_next, y_next if return_trajectory else None
 
-    _, ys = jax.lax.scan(step, y0, (t[:-1], t[1:]))
+    y_final, ys = jax.lax.scan(step, y0, (t[:-1], t[1:]))
+    if not return_trajectory:
+        return y_final[None]
     return jnp.concatenate([y0[None], ys], axis=0)

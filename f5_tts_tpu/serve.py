@@ -139,6 +139,7 @@ class MicroBatcher(threading.Thread):
                 cfg_strength=r0.cfg_strength,
                 sway_sampling_coef=r0.sway,
                 seed=r0.seed,
+                return_trajectory=False,
             )
             wave = np.asarray(wave)
             if wave.ndim == 1:

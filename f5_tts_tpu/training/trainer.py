@@ -252,6 +252,11 @@ class F5TTSTrainer:
 
         text = [sample_ref_text + " " + sample_generation_text]
         start_date = datetime.datetime.now()
+        # sample with EMA weights when tracked (what the published checkpoints
+        # are, and what upstream F5-TTS evaluates with)
+        saved_params = self.model.params
+        if self.state is not None and "ema" in self.state:
+            self.model.params = self.state["ema"]
         wave, trajectories = self.model.sample(
             jnp.asarray(audio)[None, :],
             text=text,
@@ -262,6 +267,7 @@ class F5TTSTrainer:
             speed=1,
             sway_sampling_coef=-1.0,
         )
+        self.model.params = saved_params
         wave = np.asarray(wave)
         elapsed = (datetime.datetime.now() - start_date).total_seconds()
         print(f"Generated sample at step {step} in {elapsed:0.1f}s")
