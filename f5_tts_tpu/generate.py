@@ -154,6 +154,7 @@ def generate(
     output_path: Optional[str] = None,
     model=None,
     play: Optional[bool] = None,
+    cfg_interval: Optional[tuple] = None,
 ) -> np.ndarray:
     """End-to-end synthesis (reference: generate.py:113-244). Returns the
     generated waveform (reference audio trimmed off). Pass `model` to reuse a
@@ -199,6 +200,7 @@ def generate(
             sway_sampling_coef=sway_sampling_coef,
             seed=seed,
             return_trajectory=False,
+            cfg_interval=cfg_interval,
         )
         return np.asarray(wave)[audio.shape[0] :]
 
@@ -264,6 +266,7 @@ def generate(
             sway_sampling_coef=sway_sampling_coef,
             seed=seed,
             return_trajectory=False,
+            cfg_interval=cfg_interval,
         )
         waves = np.asarray(waves)
         pieces = []
@@ -317,6 +320,8 @@ def build_parser() -> argparse.ArgumentParser:
                         help="Seed for noise generation")
     parser.add_argument("--q", type=int, default=None,
                         help="Number of bits to use for quantization. 4 and 8 are supported.")
+    parser.add_argument("--cfg-interval", type=str, default=None,
+                        help="Optional accelerator: apply CFG only for flow times in LO,HI (e.g. '0,0.7')")
     return parser
 
 
@@ -348,6 +353,7 @@ def main(argv: list[str] | None = None):
         seed=args.seed,
         quantization_bits=args.q,
         output_path=args.output,
+        cfg_interval=tuple(float(x) for x in args.cfg_interval.split(",")) if args.cfg_interval else None,
     )
 
 

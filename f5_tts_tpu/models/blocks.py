@@ -138,6 +138,14 @@ def convnext_v2_block(p: Params, x: jax.Array, dilation: int = 1) -> jax.Array:
 # ------------------------------------------------------------ text embedding
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=None)
+def _freqs_cis_table(text_dim: int, max_pos: int):
+    return precompute_freqs_cis(text_dim, max_pos)
+
+
 def text_embedding_init(
     key,
     text_num_embeds: int,
@@ -149,9 +157,6 @@ def text_embedding_init(
     keys = jax.random.split(key, conv_layers + 1)
     p: Params = {"embed": embedding_init(keys[0], text_num_embeds + 1, text_dim)}
     if conv_layers > 0:
-        # Absolute sin/cos table, stored as a non-trainable constant leaf
-        # (reference: dit.py:190-191).
-        p["freqs_cis"] = jnp.asarray(precompute_freqs_cis(text_dim, max_pos))
         p["blocks"] = [
             convnext_v2_block_init(keys[i + 1], text_dim, text_dim * conv_mult)
             for i in range(conv_layers)
@@ -188,9 +193,14 @@ def text_embedding(
     x = embedding(p["embed"], text, dtype=dtype)
 
     if "blocks" in p:
+        # absolute sin/cos table (reference: dit.py:190-191): a pure function
+        # of (text_dim, max_pos), kept OUT of the param tree — the reference's
+        # `_freqs_cis` underscore naming makes it non-trainable in MLX, and a
+        # param-tree leaf here would get trained/weight-decayed by optax
+        table = _freqs_cis_table(x.shape[-1], max_pos)
         batch_start = jnp.zeros((batch,), dtype=jnp.int32)
         pos_idx = get_pos_embed_indices(batch_start, seq_len, max_pos=max_pos)
-        x = x + p["freqs_cis"].astype(dtype)[pos_idx]
+        x = x + jnp.asarray(table).astype(dtype)[pos_idx]
 
         if mask_padding:
             x = jnp.where(text_mask, 0.0, x)

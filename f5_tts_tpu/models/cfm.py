@@ -222,6 +222,60 @@ class F5TTS:
 
         return load_f5tts_pretrained(hf_model_name_or_path, quantization_bits=quantization_bits)
 
+    def save_pretrained(self, path, quantization_bits: int | None = None) -> None:
+        """Write a snapshot directory loadable by from_pretrained: weights in
+        the published naming convention (+ optional quantized variant), the
+        vocab, the duration model, and the vocoder weights when available.
+
+        Closes the train -> publish -> load loop the reference only covers in
+        the download direction."""
+        import os
+        from pathlib import Path
+
+        from safetensors.numpy import save_file
+
+        from f5_tts_tpu.models.convert import export_dit_state, export_duration_state
+
+        path = Path(path)
+        os.makedirs(path, exist_ok=True)
+
+        flat = {f"ema_model.transformer.{k}": np.asarray(v)
+                for k, v in export_dit_state(self.params).items()}
+        if quantization_bits is None:
+            save_file({k: np.ascontiguousarray(v) for k, v in flat.items()},
+                      path / "model_v1.safetensors")
+        else:
+            from f5_tts_tpu.models.quant import (
+                GROUP_SIZE, pack_mlx_uint32, quantizable, quantize_kernel,
+            )
+
+            qflat: dict[str, np.ndarray] = {}
+            for k, v in flat.items():
+                if k.endswith(".weight") and v.ndim == 2 and quantizable(v.T.shape) \
+                        and not k.endswith("text_embed.text_embed.weight"):
+                    qp = quantize_kernel(v.T.astype(np.float32), quantization_bits)
+                    offset = 1 << (quantization_bits - 1)
+                    codes = (np.asarray(qp["q"]).astype(np.int16) + offset).astype(np.uint8).T
+                    qflat[k] = pack_mlx_uint32(codes, quantization_bits)
+                    qflat[k[:-7] + ".scales"] = np.ascontiguousarray(np.asarray(qp["scales"]).T)
+                    qflat[k[:-7] + ".biases"] = np.ascontiguousarray(
+                        np.asarray(qp["biases"] - offset * qp["scales"]).T)
+                else:
+                    qflat[k] = v
+            save_file({k: np.ascontiguousarray(v) for k, v in qflat.items()},
+                      path / f"model_v1_{quantization_bits}b.safetensors")
+
+        if self._vocab_char_map is not None:
+            entries = sorted(self._vocab_char_map, key=self._vocab_char_map.get)
+            (path / "vocab.txt").write_text("\n".join(entries))
+
+        if self._duration_predictor is not None:
+            save_file(
+                {k: np.asarray(v)
+                 for k, v in export_duration_state(self._duration_predictor.params).items()},
+                path / "duration_v2.safetensors",
+            )
+
     # -- helpers -----------------------------------------------------------
 
     def _tokenize(self, text: list[str]) -> np.ndarray:

@@ -121,11 +121,9 @@ def _convnext_v2_block(s: _State, prefix: str) -> Params:
 
 
 def _text_embedding(s: _State, prefix: str, conv_layers: int, text_dim: int, max_pos: int) -> Params:
-    from f5_tts_tpu.models.rope import precompute_freqs_cis
-
+    del text_dim, max_pos  # positional table is a static constant, not a leaf
     p: Params = {"embed": {"embedding": jnp.asarray(s.take(f"{prefix}.text_embed.weight"))}}
     if conv_layers > 0:
-        p["freqs_cis"] = jnp.asarray(precompute_freqs_cis(text_dim, max_pos))
         p["blocks"] = [
             _convnext_v2_block(s, f"{prefix}.text_blocks.{i}") for i in range(conv_layers)
         ]
@@ -277,7 +275,9 @@ def convert_vocos_state(raw: dict[str, np.ndarray], cfg: VocosConfig) -> Params:
 
 
 def _export_linear(out: dict, key: str, p: Params) -> None:
-    out[f"{key}.weight"] = np.asarray(p["kernel"]).T
+    # ascontiguousarray: safetensors silently serializes the BASE buffer of
+    # non-contiguous views, corrupting transposed kernels on disk
+    out[f"{key}.weight"] = np.ascontiguousarray(np.asarray(p["kernel"]).T)
     if "bias" in p:
         out[f"{key}.bias"] = np.asarray(p["bias"])
 
@@ -288,7 +288,9 @@ def _export_norm(out: dict, key: str, p: Params) -> None:
 
 
 def _export_conv1d(out: dict, key: str, p: Params) -> None:
-    out[f"{key}.weight"] = np.transpose(np.asarray(p["kernel"]), (2, 0, 1))  # -> [out, k, in/g]
+    out[f"{key}.weight"] = np.ascontiguousarray(
+        np.transpose(np.asarray(p["kernel"]), (2, 0, 1))
+    )  # -> [out, k, in/g]
     if "bias" in p:
         out[f"{key}.bias"] = np.asarray(p["bias"])
 

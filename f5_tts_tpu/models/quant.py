@@ -42,7 +42,10 @@ def unpack_mlx_uint32(w: np.ndarray, bits: int) -> np.ndarray:
 def pack_mlx_uint32(q: np.ndarray, bits: int) -> np.ndarray:
     """uint8 [out, in] -> MLX packed uint32 [out, in*bits/32]."""
     per = 32 // bits
-    q = q.astype(np.uint32).reshape(*q.shape[:-1], q.shape[-1] // per, per)
+    # order="C": astype defaults to order='K', which propagates F-ordering
+    # from transposed views into the output — and non-contiguous arrays get
+    # silently corrupted by safetensors serialization downstream
+    q = q.astype(np.uint32, order="C").reshape(*q.shape[:-1], q.shape[-1] // per, per)
     shifts = (np.arange(per, dtype=np.uint32) * bits).astype(np.uint32)
     return (q << shifts).sum(axis=-1, dtype=np.uint32)
 

@@ -58,7 +58,7 @@ class DurationTrainer:
 
         params = self.state["params"] if self.state else self.model.params
         flat = export_duration_state(params)
-        save_file({k: np.asarray(v) for k, v in flat.items()},
+        save_file({k: np.ascontiguousarray(np.asarray(v)) for k, v in flat.items()},
                   self.results_dir / f"duration_{step}.safetensors")
 
     def load_checkpoint(self, step: int) -> None:

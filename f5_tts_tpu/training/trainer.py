@@ -142,12 +142,12 @@ class F5TTSTrainer:
         from safetensors.numpy import save_file
 
         flat = export_dit_state(self.state["params"] if self.state else self.model.params)
-        save_file({k: np.asarray(v) for k, v in flat.items()},
+        save_file({k: np.ascontiguousarray(np.asarray(v)) for k, v in flat.items()},
                   self.results_dir / f"f5tts_{step}.safetensors")
 
         if self.state is not None and "ema" in self.state:
             ema_flat = export_dit_state(self.state["ema"])
-            save_file({k: np.asarray(v) for k, v in ema_flat.items()},
+            save_file({k: np.ascontiguousarray(np.asarray(v)) for k, v in ema_flat.items()},
                       self.results_dir / f"f5tts_{step}.ema.safetensors")
 
         if self.state is not None:

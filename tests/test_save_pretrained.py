@@ -1,0 +1,86 @@
+"""save_pretrained -> from_pretrained round trip (train -> publish -> load)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from f5_tts_tpu.config import DiTConfig, DurationConfig, F5TTS_V1_BASE
+from f5_tts_tpu.models.cfm import F5TTS
+from f5_tts_tpu.models.convert import convert_dit_state
+from f5_tts_tpu.models.duration import DurationPredictor
+from f5_tts_tpu.models.quant import convert_quantized_dit_state
+from safetensors.numpy import load_file
+
+
+def _base_like_tiny():
+    # from_pretrained always builds the base architecture, so the round-trip
+    # test uses base dims with a tiny depth to stay fast
+    return F5TTS_V1_BASE.replace(depth=1)
+
+
+def test_save_load_roundtrip(tmp_path):
+    vocab = {chr(i + 97): i for i in range(26)}
+    vocab[""] = 26  # trailing empty entry like vocab files have
+    cfg = DiTConfig(
+        dim=64, depth=2, heads=2, dim_head=32, ff_mult=2, mel_dim=100,
+        text_num_embeds=len(vocab) - 1, text_dim=32, conv_layers=1,
+        use_flash_attention=False,
+    )
+    dur = DurationPredictor.init(
+        jax.random.key(1),
+        DurationConfig(dim=32, depth=1, heads=2, dim_head=16, ff_mult=2,
+                       text_dim=16, conv_layers=1, text_num_embeds=len(vocab) - 1),
+        vocab_char_map=vocab,
+    )
+    model = F5TTS.init(jax.random.key(0), cfg, vocab_char_map=vocab, duration_predictor=dur)
+    model.save_pretrained(tmp_path)
+
+    assert (tmp_path / "model_v1.safetensors").exists()
+    assert (tmp_path / "vocab.txt").exists()
+    assert (tmp_path / "duration_v2.safetensors").exists()
+
+    # vocab round trip preserves indices
+    from f5_tts_tpu.utils.tokenizer import load_vocab
+
+    assert load_vocab(tmp_path / "vocab.txt") == vocab
+
+    # weights round trip bit-exactly through the published naming
+    state = load_file(tmp_path / "model_v1.safetensors")
+    assert all(k.startswith("ema_model.transformer.") for k in state)
+    back = convert_dit_state(state, cfg)
+    for a, b in zip(jax.tree_util.tree_leaves(model.params), jax.tree_util.tree_leaves(back)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_save_quantized_roundtrip(tmp_path):
+    cfg = DiTConfig(
+        dim=64, depth=2, heads=2, dim_head=32, ff_mult=2, mel_dim=100,
+        text_num_embeds=64, text_dim=64, conv_layers=1, use_flash_attention=False,
+    )
+    model = F5TTS.init(jax.random.key(0), cfg)
+    model.save_pretrained(tmp_path, quantization_bits=8)
+    assert (tmp_path / "model_v1_8b.safetensors").exists()
+
+    state = load_file(tmp_path / "model_v1_8b.safetensors")
+    assert any(k.endswith(".scales") for k in state)
+    qparams = convert_quantized_dit_state(state, cfg, bits=8)
+    # quantized leaves present, codes/scales round-trip bit-exactly
+    assert "q" in qparams["blocks"]["attn"]["to_q"]
+    from f5_tts_tpu.models.quant import quantize_kernel
+
+    ref_q = quantize_kernel(np.asarray(model.params["proj_out"]["kernel"]), 8)
+    np.testing.assert_array_equal(np.asarray(qparams["proj_out"]["q"]), np.asarray(ref_q["q"]))
+    np.testing.assert_allclose(np.asarray(qparams["proj_out"]["scales"]),
+                               np.asarray(ref_q["scales"]), rtol=1e-6)
+    from f5_tts_tpu.models.dit import dit_forward
+
+    x = jax.random.normal(jax.random.key(2), (1, 16, 100))
+    out = dit_forward(qparams, cfg, x, jnp.zeros_like(x), jnp.array([[1, 2]]), jnp.array([0.5]))
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_cli_cfg_interval_flag():
+    from f5_tts_tpu.generate import build_parser
+
+    args = build_parser().parse_args(["--text", "x", "--cfg-interval", "0,0.7"])
+    assert args.cfg_interval == "0,0.7"

@@ -110,6 +110,16 @@ def test_trainer_end_to_end(tmp_path):
     files = sorted(os.listdir(tmp_path))
     assert "f5tts_3.safetensors" in files and "f5tts_6.safetensors" in files
 
+    # checkpoint weights round-trip bit-exactly through safetensors (guards
+    # against the non-contiguous-array serialization pitfall)
+    from f5_tts_tpu.models.convert import convert_dit_state
+    from safetensors.numpy import load_file
+
+    back = convert_dit_state(load_file(tmp_path / "f5tts_6.safetensors"), TINY)
+    for a, b in zip(jax.tree_util.tree_leaves(trainer.state["params"]),
+                    jax.tree_util.tree_leaves(back)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
     # resume restores optimizer state and step counter
     trainer2 = F5TTSTrainer(model, num_warmup_steps=2, results_dir=tmp_path)
     trainer2.train(dataset(), learning_rate=1e-4, total_steps=8, checkpoint=6,
