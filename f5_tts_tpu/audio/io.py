@@ -42,6 +42,8 @@ def read_wav(path: str | Path) -> tuple[np.ndarray, int]:
             chunk_id, size = hdr[:4], struct.unpack("<I", hdr[4:])[0]
             payload = f.read(size + (size & 1))
             if chunk_id == b"fmt ":
+                if len(payload) < 16:
+                    raise ValueError(f"{path}: truncated fmt chunk")
                 fmt = struct.unpack("<HHIIHH", payload[:16])
             elif chunk_id == b"data":
                 data = payload[:size]

@@ -140,8 +140,6 @@ def decode_sample(sample: dict) -> dict | None:
 
     Uses the native C++ decoder when built (ops/native), else the stdlib WAV
     reader. Transcripts become byte-level ids (reference: data.py:52,65)."""
-    from f5_tts_tpu.audio.io import read_wav
-
     try:
         text = Path(sample["transcript_file"]).read_text().strip()
         audio, sr = _read_audio(sample["file"])

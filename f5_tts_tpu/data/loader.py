@@ -82,12 +82,29 @@ class Stream:
             return Stream(gen)
 
         def gen():
+            # bounded in-flight window: ThreadPoolExecutor.map submits the
+            # ENTIRE upstream iterable eagerly, which for a multi-epoch
+            # dataset queues every decode at once and accumulates decoded
+            # audio unboundedly ahead of the consumer
+            from collections import deque
             from concurrent.futures import ThreadPoolExecutor
 
+            window = num_threads * 2
             with ThreadPoolExecutor(num_threads) as pool:
-                for y in pool.map(fn, self._factory()):
-                    if y is not None:
-                        yield y
+                pending: deque = deque()
+                it = iter(self._factory())
+                try:
+                    for item in it:
+                        pending.append(pool.submit(fn, item))
+                        if len(pending) >= window:
+                            y = pending.popleft().result()
+                            if y is not None:
+                                yield y
+                finally:
+                    while pending:
+                        y = pending.popleft().result()
+                        if y is not None:
+                            yield y
 
         return Stream(gen)
 
@@ -202,7 +219,6 @@ def pad_to_multiple(x: np.ndarray, axis: int, multiple: int, value=0.0) -> np.nd
 def collate_audio_batch(
     samples: list[dict],
     pad_frame_multiple: int = 256,
-    compute_mel_on_device: bool = True,
 ) -> dict:
     """samples: [{"audio": float32 [nw], "transcript": int32 [nt]}] ->
     {"mel_spec" [b, n, d], "mel_len" [b], "transcript" [b, nt]}.
@@ -219,16 +235,9 @@ def collate_audio_batch(
         n = min(s["audio"].shape[0], max_samples)
         audio[i, :n] = s["audio"][:n]
 
-    if compute_mel_on_device:
-        import jax.numpy as jnp
+    from f5_tts_tpu.audio.mel import log_mel_spectrogram
 
-        from f5_tts_tpu.audio.mel import log_mel_spectrogram
-
-        mel = np.asarray(log_mel_spectrogram(jnp.asarray(audio)))
-    else:
-        from f5_tts_tpu.audio.mel import log_mel_spectrogram
-
-        mel = np.asarray(log_mel_spectrogram(audio))
+    mel = np.asarray(log_mel_spectrogram(audio))
 
     # zero past each item's true length (the reference's batch pad value is
     # 0.0 mel, not the log floor)

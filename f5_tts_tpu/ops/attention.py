@@ -21,7 +21,9 @@ def sdpa_reference(
     key_mask: jax.Array | None = None,  # [b, n] bool, True = keep
 ) -> jax.Array:
     """XLA attention: softmax in float32, output in input dtype."""
-    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(jnp.float32) * scale
+    logits = jnp.einsum(
+        "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+    ) * scale
     if key_mask is not None:
         neg = jnp.finfo(jnp.float32).min
         logits = jnp.where(key_mask[:, None, None, :], logits, neg)

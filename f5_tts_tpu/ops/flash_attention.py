@@ -139,7 +139,9 @@ def flash_attention(
 
 
 def _xla_attention(q, k, v, scale, key_mask):
-    s = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(jnp.float32) * scale
+    s = jnp.einsum(
+        "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+    ) * scale
     if key_mask is not None:
         s = jnp.where(key_mask[:, None, None, :], s, _NEG_INF)
     p = jax.nn.softmax(s, axis=-1).astype(q.dtype)

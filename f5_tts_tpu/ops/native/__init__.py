@@ -8,6 +8,7 @@ pure-Python decoder (see data/libritts.py:_read_audio)."""
 from __future__ import annotations
 
 import ctypes
+import os
 import subprocess
 from pathlib import Path
 
@@ -20,19 +21,25 @@ _SO = _DIR / "libf5native.so"
 def _ensure_built() -> Path:
     if _SO.exists():
         return _SO
+    tmp = _SO.with_suffix(f".tmp{os.getpid()}.so")
     try:
         subprocess.run(
             ["g++", "-O3", "-fPIC", "-shared", "-std=c++17", "-pthread",
-             "-o", str(_SO), str(_DIR / "wav_decoder.cpp")],
+             "-o", str(tmp), str(_DIR / "wav_decoder.cpp")],
             check=True,
             capture_output=True,
         )
+        os.replace(tmp, _SO)  # atomic: concurrent builders can't corrupt the .so
     except (OSError, subprocess.CalledProcessError) as e:
+        tmp.unlink(missing_ok=True)
         raise ImportError(f"could not build libf5native.so: {e}") from e
     return _SO
 
 
-_lib = ctypes.CDLL(str(_ensure_built()))
+try:
+    _lib = ctypes.CDLL(str(_ensure_built()))
+except OSError as e:  # corrupt/foreign-arch .so: surface as "unavailable"
+    raise ImportError(f"libf5native.so unusable: {e}") from e
 
 _lib.f5_wav_decode.restype = ctypes.c_int
 _lib.f5_wav_decode.argtypes = [

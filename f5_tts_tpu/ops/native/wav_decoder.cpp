@@ -41,11 +41,22 @@ int decode_wav_file(const char* path, WavData* out) {
   std::vector<uint8_t> data;
   bool have_fmt = false, have_data = false;
 
+  // size fields are untrusted: cap chunks at 2 GiB and validate fmt length
+  constexpr uint32_t kMaxChunk = 2u << 30;
+
   uint8_t hdr[8];
   while (std::fread(hdr, 1, 8, f) == 8) {
     uint32_t size;
     std::memcpy(&size, hdr + 4, 4);
+    if (size > kMaxChunk) {
+      std::fclose(f);
+      return -5;
+    }
     if (std::memcmp(hdr, "fmt ", 4) == 0) {
+      if (size < 16) {
+        std::fclose(f);
+        return -6;
+      }
       std::vector<uint8_t> fmt(size);
       if (std::fread(fmt.data(), 1, size, f) != size) break;
       std::memcpy(&audio_format, fmt.data() + 0, 2);
@@ -116,7 +127,12 @@ extern "C" {
 int f5_wav_decode(const char* path, float** samples, int64_t* num_frames,
                   int32_t* channels, int32_t* sample_rate) {
   WavData w;
-  int rc = decode_wav_file(path, &w);
+  int rc;
+  try {
+    rc = decode_wav_file(path, &w);
+  } catch (...) {  // bad_alloc etc. must not unwind across the C ABI
+    return -7;
+  }
   if (rc != 0) return rc;
   *samples = w.samples;
   *num_frames = w.num_frames;
@@ -137,7 +153,12 @@ int f5_wav_decode_batch(const char** paths, int32_t count, int32_t num_threads,
       int32_t i = next.fetch_add(1);
       if (i >= count) return;
       WavData w;
-      int rc = decode_wav_file(paths[i], &w);
+      int rc;
+      try {
+        rc = decode_wav_file(paths[i], &w);
+      } catch (...) {
+        rc = -7;
+      }
       if (rc == 0) {
         samples[i] = w.samples;
         num_frames[i] = w.num_frames;

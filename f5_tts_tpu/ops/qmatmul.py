@@ -7,7 +7,8 @@ traffic than bf16 weights), dequantizes group-wise in VMEM, and feeds the MXU
 directly — the quantization equivalent of what MLX's fused quantized matmul
 does on Metal (reference: nn.quantize usage at cfm.py:510-515).
 
-Layout (see models/quant.py): q uint8 [k, n], scales/biases f32 [k/64, n];
+Layout (see models/quant.py): q int8 [k, n] (offset-centered codes),
+scales/biases f32 [k/64, n];
 dequant(w)[i, j] = q[i, j] * scales[i//64, j] + biases[i//64, j].
 """
 
@@ -88,7 +89,9 @@ def qmatmul(x: jax.Array, p: Params) -> jax.Array:
     m = x2d.shape[0]
 
     block_m = min(BLOCK_M, _next_multiple(m, 8))
-    block_n = min(BLOCK_N, n)
+    # block_n must DIVIDE n: the grid is n // block_n, so a non-divisor would
+    # silently leave trailing output columns unwritten
+    block_n = next(bn for bn in (BLOCK_N, 256, 128) if n % bn == 0)
     m_pad = _next_multiple(m, block_m)
     if m_pad != m:
         x2d = jnp.pad(x2d, ((0, m_pad - m), (0, 0)))

@@ -25,10 +25,14 @@ def initialize(
 ) -> None:
     """Initialize multi-host JAX. Args default to the JAX_* / cloud-TPU env
     vars; on single-host setups this is a no-op."""
-    if num_processes is None:
-        num_processes = int(os.environ.get("JAX_NUM_PROCESSES", "1"))
-    if num_processes <= 1 and coordinator_address is None:
-        return
+    env_np = os.environ.get("JAX_NUM_PROCESSES")
+    if num_processes is None and env_np is not None:
+        num_processes = int(env_np)
+    if coordinator_address is None and num_processes in (None, 1):
+        return  # single-host: nothing to initialize
+    # pass None through: jax.distributed auto-detects the cluster topology
+    # (e.g. Cloud TPU metadata); forcing num_processes=1 here would mis-form
+    # a real multi-host pod
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
         num_processes=num_processes,
