@@ -53,10 +53,11 @@ class _Request:
     future: Future = field(default_factory=Future)
 
     def group_key(self, bucket: int) -> tuple:
+        # ref length doesn't key compiles (mel runs on a fixed-size window in
+        # _run_group), so only sampler settings + duration bucket partition
         dur_bucket = math.ceil(max(self.duration_frames, 1) / bucket)
-        ref_bucket = math.ceil(max(self.ref_audio.shape[0] // 256, 1) / bucket)
         return (self.steps, self.method, self.cfg_strength, self.sway, self.seed,
-                dur_bucket, ref_bucket)
+                dur_bucket)
 
 
 class MicroBatcher(threading.Thread):
@@ -109,14 +110,13 @@ class MicroBatcher(threading.Thread):
 
         try:
             b = len(group)
-            max_ref = max(r.ref_audio.shape[0] for r in group)
-            audio = np.zeros((b, max_ref), dtype=np.float32)
-            lens = np.zeros((b,), dtype=np.int32)
-            for i, r in enumerate(group):
-                audio[i, : r.ref_audio.shape[0]] = r.ref_audio
-                lens[i] = r.ref_audio.shape[0] // 256
-            cond_mel = self.model._mel_spec(jnp.asarray(audio))
+            max_duration = self.model.cfm_cfg.max_duration
+            bucket = self.model.cfm_cfg.duration_bucket
 
+            lens = np.array(
+                [min(r.ref_audio.shape[0] // 256, max_duration) for r in group],
+                dtype=np.int32,
+            )
             texts = convert_char_to_pinyin([r.ref_text + " " + r.text for r in group])
             text_ids = self.model._tokenize(texts)
             durations = np.array([r.duration_frames for r in group], dtype=np.int32)
@@ -125,8 +125,21 @@ class MicroBatcher(threading.Thread):
             from f5_tts_tpu.models.cfm import clamp_duration
 
             text_lens = (text_ids != -1).sum(axis=-1).astype(np.int32)
-            durations = clamp_duration(durations, lens, text_lens,
-                                       self.model.cfm_cfg.max_duration)
+            durations = clamp_duration(durations, lens, text_lens, max_duration)
+
+            # ONE mel compile per batch size: the mel jit is keyed on the raw
+            # audio length, so variable-length refs would each pay a fresh
+            # compile; pad every ref to the max_duration window and trim the
+            # mel to the duration bucket sample() will use anyway
+            pad_samples = max_duration * 256
+            audio = np.zeros((b, pad_samples), dtype=np.float32)
+            for i, r in enumerate(group):
+                n = min(r.ref_audio.shape[0], pad_samples)
+                audio[i, :n] = r.ref_audio[:n]
+            padded_est = min(
+                max(bucket, -(-int(durations.max()) // bucket) * bucket), max_duration
+            )
+            cond_mel = self.model._mel_spec(jnp.asarray(audio))[:, :padded_est]
 
             r0 = group[0]
             wave, _ = self.model.sample(
@@ -266,23 +279,30 @@ def make_handler(batcher: MicroBatcher, default_ref: tuple[np.ndarray, str]):
 
 
 def warmup(model, durations_sec: list[float], steps: int = 8, method: str = "rk4",
-           cfg_strength: float = 2.0, batch_sizes: tuple[int, ...] = (1,)) -> None:
+           cfg_strength: float = 2.0, batch_sizes: tuple[int, ...] = (1,),
+           batcher: "MicroBatcher | None" = None) -> None:
     """Pre-compile the duration buckets / batch sizes a deployment expects, so
     the first real request doesn't pay the jit compile (~1 min per shape on a
-    cold chip)."""
-    import jax.numpy as jnp
-
+    cold chip). When a batcher is given, warmup requests go through the FULL
+    request path (mel, tokenize, sample, trim), eliminating residual
+    first-request compiles."""
     sr = model.audio_cfg.sample_rate
     ref = np.zeros((sr,), dtype=np.float32)
     for b in batch_sizes:
-        cond = model._mel_spec(jnp.broadcast_to(jnp.asarray(ref)[None, :], (b, sr)))
         for sec in durations_sec:
             frames = int(sec * model.audio_cfg.frames_per_second)
-            wave, _ = model.sample(
-                cond, text=["warmup"] * b, duration=frames, steps=steps,
-                method=method, cfg_strength=cfg_strength, seed=0,
-            )
-            np.asarray(wave[..., :1])
+            reqs = [
+                _Request(
+                    text="warmup", ref_audio=ref, ref_text="warmup",
+                    duration_frames=frames, steps=steps, method=method,
+                    cfg_strength=cfg_strength, sway=-1.0, seed=0,
+                )
+                for _ in range(b)
+            ]
+            target = batcher if batcher is not None else MicroBatcher(model)
+            target._run_group(reqs)
+            for r in reqs:
+                r.future.result()
             print(f"warmed batch={b} duration={sec}s")
 
 

@@ -234,3 +234,73 @@ def test_attention_matches(params):
     )
     golden = t_attention(bp["attn"], t(x), CFG.heads, t_rotary(16, CFG.dim_head)).numpy()
     np.testing.assert_allclose(ours, golden, atol=1e-5)
+
+
+# ------------------------------------------------- duration predictor parity
+
+from f5_tts_tpu.config import DurationConfig  # noqa: E402
+from f5_tts_tpu.models.duration import (  # noqa: E402
+    duration_forward,
+    init_duration_transformer,
+)
+
+DUR_CFG = DurationConfig(
+    dim=64, depth=2, heads=2, dim_head=32, ff_mult=2, mel_dim=20,
+    text_num_embeds=40, text_dim=64, conv_layers=1, use_flash_attention=False,
+)
+
+
+def t_rms_norm(x, p, eps=1e-5):
+    y = x * torch.rsqrt(x.pow(2).mean(-1, keepdim=True) + eps)
+    return y * t(p["scale"])
+
+
+def t_duration_forward(params, cfg, inp, text, lens, fps=93.75):
+    b, n = inp.shape[0], inp.shape[1]
+    # mask + zero (reference: duration.py:228-243)
+    mask = torch.arange(n)[None, :] < lens[:, None]
+    x = torch.where(mask.unsqueeze(-1), inp, torch.zeros_like(inp))
+    # text embed with mask_padding=False (reference: duration.py:116-118)
+    text_emb = t_text_embedding_nomask(params["text_embed"], text, n, cfg)
+    h = t_linear(params["input_embed"]["proj"], torch.cat([x, text_emb], dim=-1))
+    h = t_conv_pos_embed(params["input_embed"]["conv_pos_embed"], h) + h
+    freqs = t_rotary(n, cfg.dim_head)
+    blocks = [
+        jax.tree.map(lambda a, i=i: np.asarray(a[i]), params["blocks"]) for i in range(cfg.depth)
+    ]
+    for bp in blocks:
+        h = h + t_attention(bp["attn"], t_layer_norm(h), cfg.heads, freqs)
+        ff_in = t_layer_norm(h)
+        h = h + t_linear(bp["ff"]["w2"], F.gelu(t_linear(bp["ff"]["w1"], ff_in), approximate="tanh"))
+    h = t_rms_norm(h, params["norm_out"])
+    # masked mean (reference: utils.py:82-90)
+    hm = torch.where(mask.unsqueeze(-1), h, torch.zeros_like(h))
+    pooled = hm.sum(1) / mask.sum(1, keepdim=True).clamp(min=1)
+    return F.softplus(t_linear(params["to_pred"], pooled)).squeeze(-1)
+
+
+def t_text_embedding_nomask(p, text, seq_len, cfg):
+    text = text + 1
+    text = text[:, :seq_len]
+    text = F.pad(text, (0, seq_len - text.shape[1]), value=0)
+    x = F.embedding(text, t(p["embed"]["embedding"]))
+    freqs = 1.0 / (10000.0 ** (torch.arange(0, cfg.text_dim, 2)[: cfg.text_dim // 2] / cfg.text_dim))
+    pos = torch.outer(torch.arange(seq_len).float(), freqs)
+    x = x + torch.cat([pos.cos(), pos.sin()], dim=-1)[None]
+    for bp in p["blocks"]:
+        x = t_convnext_block(bp, x)
+    return x
+
+
+def test_duration_predictor_matches_torch_golden():
+    params = init_duration_transformer(jax.random.key(5), DUR_CFG)
+    inp = jax.random.normal(jax.random.key(6), (2, 24, DUR_CFG.mel_dim))
+    text = jnp.array([[3, 5, -1, -1], [1, 2, 3, 4]])
+    lens = jnp.array([20, 24])
+
+    ours = np.asarray(duration_forward(params, DUR_CFG, inp, text, lens))
+    golden = t_duration_forward(
+        params, DUR_CFG, t(inp), torch.from_numpy(np.asarray(text)).long(),
+        torch.from_numpy(np.asarray(lens)).long(),
+    ).numpy()
+    np.testing.assert_allclose(ours, golden, atol=1e-5, rtol=1e-5)
