@@ -90,21 +90,24 @@ class Stream:
             from concurrent.futures import ThreadPoolExecutor
 
             window = num_threads * 2
-            with ThreadPoolExecutor(num_threads) as pool:
-                pending: deque = deque()
-                it = iter(self._factory())
-                try:
-                    for item in it:
-                        pending.append(pool.submit(fn, item))
-                        if len(pending) >= window:
-                            y = pending.popleft().result()
-                            if y is not None:
-                                yield y
-                finally:
-                    while pending:
+            pool = ThreadPoolExecutor(num_threads)
+            pending: deque = deque()
+            try:
+                for item in self._factory():
+                    pending.append(pool.submit(fn, item))
+                    if len(pending) >= window:
                         y = pending.popleft().result()
                         if y is not None:
                             yield y
+                # drain on normal exhaustion (NOT in finally: yielding there
+                # raises "generator ignored GeneratorExit" when the consumer
+                # closes the stream early, e.g. trainer break at total_steps)
+                while pending:
+                    y = pending.popleft().result()
+                    if y is not None:
+                        yield y
+            finally:
+                pool.shutdown(wait=False, cancel_futures=True)
 
         return Stream(gen)
 
