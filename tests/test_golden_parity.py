@@ -304,3 +304,47 @@ def test_duration_predictor_matches_torch_golden():
         torch.from_numpy(np.asarray(lens)).long(),
     ).numpy()
     np.testing.assert_allclose(ours, golden, atol=1e-5, rtol=1e-5)
+
+
+# ------------------------------------------------- vocos vocoder parity
+
+from f5_tts_tpu.config import VocosConfig  # noqa: E402
+from f5_tts_tpu.models.vocos import init_vocos, vocos_decode  # noqa: E402
+
+VOCOS_CFG = VocosConfig(input_channels=20, dim=64, intermediate_dim=128, num_layers=2)
+
+
+def t_vocos_convnext(p, x):
+    residual = x
+    x = t_conv1d(p["dwconv"], x, groups=x.shape[-1], padding=3)
+    x = t_layer_norm(x, p["norm"])
+    x = t_linear(p["pwconv1"], x)
+    x = F.gelu(x)
+    x = t_linear(p["pwconv2"], x)
+    return residual + t(p["gamma"]) * x
+
+
+def t_vocos_decode(params, cfg, mel):
+    x = t_conv1d(params["embed"], mel, padding=3)
+    x = t_layer_norm(x, params["norm"])
+    for bp in params["convnext"]:
+        x = t_vocos_convnext(bp, x)
+    x = t_layer_norm(x, params["final_layer_norm"])
+    x = t_linear(params["head"], x)
+    mag, phase = x.chunk(2, dim=-1)
+    mag = torch.exp(mag).clamp(max=1e2)
+    spec = torch.complex(mag * phase.cos(), mag * phase.sin())
+    window = torch.hann_window(cfg.n_fft, periodic=True)
+    return torch.istft(
+        spec.transpose(1, 2), n_fft=cfg.n_fft, hop_length=cfg.hop_length,
+        win_length=cfg.n_fft, window=window, center=True,
+    )
+
+
+def test_vocos_matches_torch_golden():
+    params = init_vocos(jax.random.key(7), VOCOS_CFG)
+    mel = 0.3 * jax.random.normal(jax.random.key(8), (2, 24, VOCOS_CFG.input_channels))
+    ours = np.asarray(vocos_decode(params, VOCOS_CFG, mel))
+    golden = t_vocos_decode(params, VOCOS_CFG, t(mel)).numpy()
+    assert ours.shape == golden.shape
+    np.testing.assert_allclose(ours, golden, atol=2e-4, rtol=1e-3)
