@@ -299,10 +299,18 @@ def warmup(model, durations_sec: list[float], steps: int = 8, method: str = "rk4
                 )
                 for _ in range(b)
             ]
-            target = batcher if batcher is not None else MicroBatcher(model)
-            target._run_group(reqs)
-            for r in reqs:
-                r.future.result()
+            if batcher is not None and batcher.is_alive():
+                # through the live queue: execution happens in the batcher
+                # THREAD, which matters on backends with per-thread client
+                # state (warming from the main thread leaves the serving
+                # thread cold)
+                for f in [batcher.submit(r) for r in reqs]:
+                    f.result()
+            else:
+                target = batcher if batcher is not None else MicroBatcher(model)
+                target._run_group(reqs)
+                for r in reqs:
+                    r.future.result()
             print(f"warmed batch={b} duration={sec}s")
 
 
@@ -339,9 +347,11 @@ def main(argv=None):
 
     enable_compilation_cache()
     model = F5TTS.from_pretrained(args.model, quantization_bits=args.q)
-    if args.warmup:
-        warmup(model, [float(s) for s in args.warmup.split(",")], steps=args.warmup_steps)
     httpd = serve(model, args.host, args.port, args.max_batch, args.max_wait_ms)
+    if args.warmup:
+        warmup(model, [float(s) for s in args.warmup.split(",")],
+               steps=args.warmup_steps, batcher=httpd.batcher)
+        print("warmup complete")
     try:
         threading.Event().wait()
     except KeyboardInterrupt:
