@@ -298,7 +298,9 @@ def build_parser() -> argparse.ArgumentParser:
                         help="Text to generate speech from (leave blank to input via stdin)")
     parser.add_argument("--duration", type=float, default=None,
                         help="Duration of the generated audio in seconds")
-    parser.add_argument("--estimate-duration", type=bool, default=False,
+    # deliberate divergence from the reference (generate.py:271-274), which
+    # uses type=bool and so treats "--estimate-duration False" as truthy
+    parser.add_argument("--estimate-duration", action="store_true", default=False,
                         help="Estimate duration with a text-length heuristic instead of the duration predictor model")
     parser.add_argument("--ref-audio", type=str, default=None,
                         help="Path to the reference audio file")

@@ -299,7 +299,12 @@ class F5TTS:
 
         With bf16 compute, reading fp32 master weights doubles the weight HBM
         traffic of every ODE step; the sampler uses a bf16 copy instead
-        (numerically identical to the per-use astype it replaces)."""
+        (numerically identical to the per-use astype it replaces).
+
+        The cache key is the identity of `self.params`: rebinding the
+        attribute (what every loader / trainer does) invalidates it, but
+        mutating leaves IN PLACE under the same tree object would serve a
+        stale copy — assign a new tree instead of mutating leaves."""
         if jnp.dtype(self.dit_cfg.compute_dtype) == jnp.float32:
             return self.params
         if self._cast_cache is None or self._cast_cache[0] is not self.params:

@@ -102,7 +102,13 @@ class MicroBatcher(threading.Thread):
             groups: dict[tuple, list[_Request]] = {}
             for r in batch:
                 groups.setdefault(r.group_key(bucket), []).append(r)
-            for group in groups.values():
+            # Shortest-job-first across groups: a long big-bucket group must
+            # not head-of-line-block small requests gathered in the same poll.
+            # (Groups still run one at a time — the chip serializes anyway,
+            # and this backend requires a single in-flight computation.)
+            for key, group in sorted(
+                groups.items(), key=lambda kv: kv[0][5] * kv[0][0] * len(kv[1])
+            ):
                 self._run_group(group)
 
     def _run_group(self, group: list[_Request]) -> None:
@@ -112,9 +118,10 @@ class MicroBatcher(threading.Thread):
             b = len(group)
             max_duration = self.model.cfm_cfg.max_duration
             bucket = self.model.cfm_cfg.duration_bucket
+            hop = self.model.audio_cfg.hop_length
 
             lens = np.array(
-                [min(r.ref_audio.shape[0] // 256, max_duration) for r in group],
+                [min(r.ref_audio.shape[0] // hop, max_duration) for r in group],
                 dtype=np.int32,
             )
             texts = convert_char_to_pinyin([r.ref_text + " " + r.text for r in group])
@@ -131,7 +138,7 @@ class MicroBatcher(threading.Thread):
             # audio length, so variable-length refs would each pay a fresh
             # compile; pad every ref to the max_duration window and trim the
             # mel to the duration bucket sample() will use anyway
-            pad_samples = max_duration * 256
+            pad_samples = max_duration * hop
             audio = np.zeros((b, pad_samples), dtype=np.float32)
             for i, r in enumerate(group):
                 n = min(r.ref_audio.shape[0], pad_samples)
@@ -160,8 +167,8 @@ class MicroBatcher(threading.Thread):
             for i, r in enumerate(group):
                 # frame-quantized boundaries: generated content starts at the
                 # reference's mel-frame edge, not the raw sample count
-                start = int(lens[i]) * 256
-                end = (int(durations[i]) - 1) * 256
+                start = int(lens[i]) * hop
+                end = (int(durations[i]) - 1) * hop
                 r.future.set_result(wave[i, start : min(end, wave.shape[1])])
         except Exception as e:  # pragma: no cover - error propagation
             for r in group:

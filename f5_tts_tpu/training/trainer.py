@@ -39,6 +39,20 @@ HOP_LENGTH = 256
 FRAMES_PER_SEC = SAMPLE_RATE / HOP_LENGTH
 
 
+def make_lr_schedule(
+    learning_rate: float = 1e-4,
+    num_warmup_steps: int = 1000,
+    total_steps: int = 1_000_000,
+) -> optax.Schedule:
+    return optax.join_schedules(
+        [
+            optax.linear_schedule(1e-8, learning_rate, num_warmup_steps),
+            optax.cosine_decay_schedule(learning_rate, max(total_steps - num_warmup_steps, 1)),
+        ],
+        boundaries=[num_warmup_steps],
+    )
+
+
 def make_optimizer(
     learning_rate: float = 1e-4,
     weight_decay: float = 1e-2,
@@ -48,13 +62,7 @@ def make_optimizer(
 ) -> optax.GradientTransformation:
     """Linear warmup (1e-8 -> lr) then cosine decay, AdamW, global-norm clip
     (reference: trainer.py:186-198, 226-227)."""
-    schedule = optax.join_schedules(
-        [
-            optax.linear_schedule(1e-8, learning_rate, num_warmup_steps),
-            optax.cosine_decay_schedule(learning_rate, max(total_steps - num_warmup_steps, 1)),
-        ],
-        boundaries=[num_warmup_steps],
-    )
+    schedule = make_lr_schedule(learning_rate, num_warmup_steps, total_steps)
     tx = optax.adamw(schedule, weight_decay=weight_decay)
     if max_grad_norm > 0:
         tx = optax.chain(optax.clip_by_global_norm(max_grad_norm), tx)
@@ -342,6 +350,7 @@ class F5TTSTrainer:
         optimizer = make_optimizer(
             learning_rate, weight_decay, self.num_warmup_steps, total_steps, self.max_grad_norm
         )
+        lr_schedule = make_lr_schedule(learning_rate, self.num_warmup_steps, total_steps)
         self.state = init_train_state(self.model.params, optimizer, ema=self.ema_decay is not None)
 
         if self.use_orbax:
@@ -415,7 +424,13 @@ class F5TTSTrainer:
                     if self.log_with_wandb:
                         import wandb
 
-                        wandb.log({"loss": loss_val, "batch_len": batch_len}, step=global_step)
+                        # lr at the schedule position this step's update used
+                        # (reference logs lr per step: trainer.py:256-264)
+                        lr_val = float(lr_schedule(global_step - 1))
+                        wandb.log(
+                            {"loss": loss_val, "batch_len": batch_len, "lr": lr_val},
+                            step=global_step,
+                        )
                     pbar.set_postfix({"loss": f"{loss_val:.4f}", "batch_len": f"{batch_len:04d}"})
                 pbar.update(1)
 
