@@ -34,6 +34,14 @@ from f5_tts_tpu.models.rope import (
 )
 
 
+def dropout(x: jax.Array, rate: float, key: jax.Array) -> jax.Array:
+    """Inverted dropout (reference: nn.Dropout at dit.py:96,125). Callers pass
+    a key only in training; inference paths never take this branch."""
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(key, keep, x.shape)
+    return jnp.where(mask, x / keep, jnp.zeros_like(x))
+
+
 def _as_batch_flag(flag, batch: int) -> jax.Array:
     """Normalize a drop flag (python bool, scalar, or [b] array) to bool [b].
 
@@ -260,11 +268,14 @@ def attention(
     mask: jax.Array | None = None,  # [b, n] bool padding mask
     rope_freqs: jax.Array | None = None,  # [n, dim_head]
     use_flash: bool = True,
+    dropout_rate: float = 0.0,
+    dropout_key: jax.Array | None = None,
 ) -> jax.Array:
     """Non-causal MHA with RoPE and key-padding mask (reference: dit.py:105-175).
 
     Matches the reference's semantics: scale 1/sqrt(dim_head), mask broadcast
-    over queries (keys masked only), output rows re-zeroed by the mask.
+    over queries (keys masked only), output-proj dropout (dit.py:125), output
+    rows re-zeroed by the mask.
     """
     b, n, _ = x.shape
     q = linear(p["to_q"], x).reshape(b, n, heads, -1).transpose(0, 2, 1, 3)
@@ -279,6 +290,8 @@ def attention(
     out = scaled_dot_product_attention(q, k, v, scale, key_mask=mask, use_flash=use_flash)
     out = out.transpose(0, 2, 1, 3).reshape(b, n, -1)
     out = linear(p["to_out"], out)
+    if dropout_key is not None and dropout_rate > 0.0:
+        out = dropout(out, dropout_rate, dropout_key)
     if mask is not None:
         out = out * mask[..., None].astype(out.dtype)
     return out
@@ -294,9 +307,17 @@ def feed_forward_init(key, dim: int, mult: int = 4, dim_out: int | None = None) 
     return {"w1": linear_init(k1, dim, inner), "w2": linear_init(k2, inner, dim_out)}
 
 
-def feed_forward(p: Params, x: jax.Array) -> jax.Array:
-    """Linear -> GELU(tanh) -> Linear (reference: dit.py:88-99)."""
-    return linear(p["w2"], gelu(linear(p["w1"], x), approximate=True))
+def feed_forward(
+    p: Params,
+    x: jax.Array,
+    dropout_rate: float = 0.0,
+    dropout_key: jax.Array | None = None,
+) -> jax.Array:
+    """Linear -> GELU(tanh) -> Dropout -> Linear (reference: dit.py:88-99)."""
+    h = gelu(linear(p["w1"], x), approximate=True)
+    if dropout_key is not None and dropout_rate > 0.0:
+        h = dropout(h, dropout_rate, dropout_key)
+    return linear(p["w2"], h)
 
 
 # ------------------------------------------------------------ AdaLN-Zero
@@ -349,12 +370,21 @@ def dit_block(
     mask: jax.Array | None = None,
     rope_freqs: jax.Array | None = None,
     use_flash: bool = True,
+    dropout_rate: float = 0.0,
+    dropout_key: jax.Array | None = None,
 ) -> jax.Array:
     """AdaLN-Zero -> attention -> gated residual -> modulated FF -> gated
     residual (reference: dit.py:296-325)."""
+    if dropout_key is not None:
+        k_attn, k_ff = jax.random.split(dropout_key)
+    else:
+        k_attn = k_ff = None
     norm, gate_msa, shift_mlp, scale_mlp, gate_mlp = adaln_zero(p["attn_norm"], x, t)
-    attn_out = attention(p["attn"], norm, heads, mask=mask, rope_freqs=rope_freqs, use_flash=use_flash)
+    attn_out = attention(
+        p["attn"], norm, heads, mask=mask, rope_freqs=rope_freqs, use_flash=use_flash,
+        dropout_rate=dropout_rate, dropout_key=k_attn,
+    )
     x = x + gate_msa[:, None] * attn_out
     norm = layer_norm(x, None, eps=1e-6) * (1 + scale_mlp[:, None]) + shift_mlp[:, None]
-    x = x + gate_mlp[:, None] * feed_forward(p["ff"], norm)
+    x = x + gate_mlp[:, None] * feed_forward(p["ff"], norm, dropout_rate=dropout_rate, dropout_key=k_ff)
     return x

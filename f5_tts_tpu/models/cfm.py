@@ -59,7 +59,7 @@ def cfm_loss(
     training forward passes none, cfm.py:234-241).
     """
     batch, seq_len = inp.shape[0], inp.shape[1]
-    k_frac, k_span, k_x0, k_time, k_adrop, k_tdrop = jax.random.split(key, 6)
+    k_frac, k_span, k_x0, k_time, k_adrop, k_tdrop, k_dropout = jax.random.split(key, 7)
 
     mask = lens_to_mask(lens, seq_len)
 
@@ -85,6 +85,10 @@ def cfm_loss(
     pred = dit_forward(
         params, dit_cfg, phi, cond, text, time,
         drop_audio_cond=drop_audio[0], drop_text=drop_text[0],
+        # honor DiTConfig.dropout in training (reference: dit.py:89-96,111-125);
+        # the gate is static (cfg.dropout == 0.0 compiles to the same graph as
+        # before), inference paths never pass a key
+        dropout_key=k_dropout if dit_cfg.dropout > 0.0 else None,
     )
 
     se = jnp.square(pred - flow.astype(jnp.float32))

@@ -81,6 +81,7 @@ def dit_forward_precomputed(
     time: jax.Array,  # [b] or scalar in [0, 1]
     drop_audio_cond=False,  # bool | [b] bool — per-sample flags enable batched CFG
     mask: jax.Array | None = None,  # [b, n] bool padding mask
+    dropout_key: jax.Array | None = None,  # training-only; None = deterministic
 ) -> jax.Array:
     """Backbone forward with a precomputed text embedding -> [b, n, mel]
     float32 flow prediction (reference: dit.py:374-401)."""
@@ -100,18 +101,33 @@ def dit_forward_precomputed(
     raw = rotary_freqs(x.shape[1], cfg.dim_head)
     freqs = (jnp.cos(raw), jnp.sin(raw))  # once per forward, not per layer
 
-    def block_fn(h, block_p):
+    use_dropout = dropout_key is not None and cfg.dropout > 0.0
+
+    def block_fn(h, block_p, layer_key):
         return B.dit_block(
-            block_p, h, t, cfg.heads, mask=mask, rope_freqs=freqs, use_flash=cfg.use_flash_attention
+            block_p, h, t, cfg.heads, mask=mask, rope_freqs=freqs,
+            use_flash=cfg.use_flash_attention,
+            dropout_rate=cfg.dropout,
+            dropout_key=layer_key if use_dropout else None,
         )
 
     if cfg.remat:
         block_fn = jax.checkpoint(block_fn)
 
-    def body(h, block_p):
-        return block_fn(h, block_p), None
+    if use_dropout:
+        layer_keys = jax.random.split(dropout_key, cfg.depth)
 
-    x, _ = jax.lax.scan(body, x, params["blocks"])
+        def body(h, xs):
+            block_p, layer_key = xs
+            return block_fn(h, block_p, layer_key), None
+
+        x, _ = jax.lax.scan(body, x, (params["blocks"], layer_keys))
+    else:
+
+        def body(h, block_p):
+            return block_fn(h, block_p, None), None
+
+        x, _ = jax.lax.scan(body, x, params["blocks"])
 
     x = B.adaln_zero_final(params["norm_out"], x, t)
     out = linear(params["proj_out"], x)
@@ -128,10 +144,12 @@ def dit_forward(
     drop_audio_cond=False,
     drop_text=False,
     mask: jax.Array | None = None,
+    dropout_key: jax.Array | None = None,
 ) -> jax.Array:
     """Full backbone forward (text ids in) -> [b, n, mel] float32
     (reference: dit.py:374-401)."""
     text_embed = dit_text_embed(params, cfg, text, x.shape[1], drop_text=drop_text)
     return dit_forward_precomputed(
-        params, cfg, x, cond, text_embed, time, drop_audio_cond=drop_audio_cond, mask=mask
+        params, cfg, x, cond, text_embed, time, drop_audio_cond=drop_audio_cond,
+        mask=mask, dropout_key=dropout_key,
     )

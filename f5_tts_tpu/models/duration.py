@@ -47,12 +47,21 @@ def duration_block(
     mask: jax.Array | None = None,
     rope_freqs: jax.Array | None = None,
     use_flash: bool = True,
+    dropout_rate: float = 0.0,
+    dropout_key: jax.Array | None = None,
 ) -> jax.Array:
     """Pre-LN residual block (reference: duration.py:64-94)."""
+    if dropout_key is not None:
+        k_attn, k_ff = jax.random.split(dropout_key)
+    else:
+        k_attn = k_ff = None
     norm = layer_norm(x, None, eps=1e-6)
-    x = x + B.attention(p["attn"], norm, heads, mask=mask, rope_freqs=rope_freqs, use_flash=use_flash)
+    x = x + B.attention(
+        p["attn"], norm, heads, mask=mask, rope_freqs=rope_freqs, use_flash=use_flash,
+        dropout_rate=dropout_rate, dropout_key=k_attn,
+    )
     norm = layer_norm(x, None, eps=1e-6)
-    return x + B.feed_forward(p["ff"], norm)
+    return x + B.feed_forward(p["ff"], norm, dropout_rate=dropout_rate, dropout_key=k_ff)
 
 
 def init_duration_transformer(key: jax.Array, cfg: DurationConfig) -> Params:
@@ -81,6 +90,7 @@ def duration_transformer_forward(
     cfg: DurationConfig,
     x: jax.Array,  # [b, n, mel]
     text: jax.Array,  # [b, nt]
+    dropout_key: jax.Array | None = None,  # training-only
 ) -> jax.Array:
     """Backbone forward -> [b, n, dim] (reference: duration.py:97-158).
 
@@ -102,14 +112,29 @@ def duration_transformer_forward(
     h = B.conv_position_embedding(params["input_embed"]["conv_pos_embed"], h) + h
 
     freqs = rotary_freqs(seq_len, cfg.dim_head)
+    use_dropout = dropout_key is not None and cfg.dropout > 0.0
 
-    def body(carry, block_p):
-        return duration_block(
-            block_p, carry, cfg.heads, mask=None, rope_freqs=freqs,
-            use_flash=cfg.use_flash_attention,
-        ), None
+    if use_dropout:
+        layer_keys = jax.random.split(dropout_key, cfg.depth)
 
-    h, _ = jax.lax.scan(body, h, params["blocks"])
+        def body(carry, xs):
+            block_p, layer_key = xs
+            return duration_block(
+                block_p, carry, cfg.heads, mask=None, rope_freqs=freqs,
+                use_flash=cfg.use_flash_attention,
+                dropout_rate=cfg.dropout, dropout_key=layer_key,
+            ), None
+
+        h, _ = jax.lax.scan(body, h, (params["blocks"], layer_keys))
+    else:
+
+        def body(carry, block_p):
+            return duration_block(
+                block_p, carry, cfg.heads, mask=None, rope_freqs=freqs,
+                use_flash=cfg.use_flash_attention,
+            ), None
+
+        h, _ = jax.lax.scan(body, h, params["blocks"])
     return rms_norm(h, params["norm_out"])
 
 
@@ -129,16 +154,20 @@ def duration_forward(
     batch, seq_len = inp.shape[0], inp.shape[1]
     mask = lens_to_mask(lens, seq_len)
 
+    dropout_key = None
     if return_loss:
         # mask out from a random prefix index so the model predicts the full
         # duration from a partial clip (reference: duration.py:232-237)
-        rand_frac = jax.random.uniform(key, (batch,))
+        k_mask, k_dropout = jax.random.split(key)
+        rand_frac = jax.random.uniform(k_mask, (batch,))
         rand_index = (rand_frac * lens).astype(jnp.int32)
         seq = jnp.arange(seq_len)
         mask = mask & (seq[None, :] < rand_index[:, None])
+        if cfg.dropout > 0.0:
+            dropout_key = k_dropout
 
     inp = jnp.where(mask[..., None], inp, jnp.zeros_like(inp))
-    x = duration_transformer_forward(params, cfg, inp, text)
+    x = duration_transformer_forward(params, cfg, inp, text, dropout_key=dropout_key)
     x = maybe_masked_mean(x, mask)
     pred = jax.nn.softplus(linear(params["to_pred"], x.astype(jnp.float32)))[..., 0]
 
