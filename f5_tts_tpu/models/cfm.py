@@ -238,34 +238,32 @@ class F5TTS:
 
         from safetensors.numpy import save_file
 
-        from f5_tts_tpu.models.convert import export_dit_state, export_duration_state
+        from f5_tts_tpu.models.convert import (
+            export_dit_state,
+            export_duration_state,
+            rotary_inv_freq,
+            to_mlx_model_naming,
+            to_torch_ema_naming,
+        )
 
         path = Path(path)
         os.makedirs(path, exist_ok=True)
 
-        flat = {f"ema_model.transformer.{k}": np.asarray(v)
-                for k, v in export_dit_state(self.params).items()}
         if quantization_bits is None:
+            # published float convention: torch-EMA naming + torch conv
+            # layouts, exactly what the reference's rename pass expects
+            # (reference: cfm.py:477-508)
+            flat = to_torch_ema_naming(export_dit_state(self.params), self.dit_cfg.dim_head)
             save_file({k: np.ascontiguousarray(v) for k, v in flat.items()},
                       path / "model_v1.safetensors")
         else:
-            from f5_tts_tpu.models.quant import (
-                GROUP_SIZE, pack_mlx_uint32, quantizable, quantize_kernel,
-            )
+            from f5_tts_tpu.models.quant import quantize_flat_mlx
 
-            qflat: dict[str, np.ndarray] = {}
-            for k, v in flat.items():
-                if k.endswith(".weight") and v.ndim == 2 and quantizable(v.T.shape) \
-                        and not k.endswith("text_embed.text_embed.weight"):
-                    qp = quantize_kernel(v.T.astype(np.float32), quantization_bits)
-                    offset = 1 << (quantization_bits - 1)
-                    codes = (np.asarray(qp["q"]).astype(np.int16) + offset).astype(np.uint8).T
-                    qflat[k] = pack_mlx_uint32(codes, quantization_bits)
-                    qflat[k[:-7] + ".scales"] = np.ascontiguousarray(np.asarray(qp["scales"]).T)
-                    qflat[k[:-7] + ".biases"] = np.ascontiguousarray(
-                        np.asarray(qp["biases"] - offset * qp["scales"]).T)
-                else:
-                    qflat[k] = v
+            # published quantized convention: MLX naming with a "transformer."
+            # prefix, loaded by the reference WITHOUT the rename pass
+            # (reference: cfm.py:450-455 sets convert_weights=False)
+            flat = to_mlx_model_naming(export_dit_state(self.params), self.dit_cfg.dim_head)
+            qflat = quantize_flat_mlx(flat, quantization_bits)
             save_file({k: np.ascontiguousarray(v) for k, v in qflat.items()},
                       path / f"model_v1_{quantization_bits}b.safetensors")
 
@@ -274,11 +272,13 @@ class F5TTS:
             (path / "vocab.txt").write_text("\n".join(entries))
 
         if self._duration_predictor is not None:
-            save_file(
-                {k: np.asarray(v)
-                 for k, v in export_duration_state(self._duration_predictor.params).items()},
-                path / "duration_v2.safetensors",
+            dur_flat = {k: np.ascontiguousarray(np.asarray(v))
+                        for k, v in export_duration_state(self._duration_predictor.params).items()}
+            # the MLX duration model's strict load needs its rotary param too
+            dur_flat["transformer.rotary_embed.inv_freq"] = rotary_inv_freq(
+                self._duration_predictor.cfg.dim_head
             )
+            save_file(dur_flat, path / "duration_v2.safetensors")
 
     # -- helpers -----------------------------------------------------------
 

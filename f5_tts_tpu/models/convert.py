@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from pathlib import Path
 
-import jax.numpy as jnp
+import jax
 import numpy as np
 
 from f5_tts_tpu.config import (
@@ -33,9 +33,17 @@ from f5_tts_tpu.config import (
     DurationConfig,
     VocosConfig,
 )
-from f5_tts_tpu.models.dit import stack_block_params
 from f5_tts_tpu.utils.hub import fetch_from_hub
 from f5_tts_tpu.utils.modules import Params
+
+
+def _stack_blocks_np(block_list: list[Params]) -> Params:
+    """Host-side counterpart of dit.stack_block_params: stack per-layer dicts
+    into a leading depth axis with numpy. Loading stays free of device ops —
+    hundreds of tiny device puts serialize catastrophically through the axon
+    TPU tunnel; the whole tree instead moves to the device in one batch at the
+    first jit call (or the jitted inference cast)."""
+    return jax.tree.map(lambda *xs: np.stack(xs), *block_list)
 
 
 # ----------------------------------------------------------------- primitives
@@ -74,20 +82,20 @@ class _State:
             scales = self.take(f"{key}.scales")  # [out, in/64]
             biases = self.take(f"{key}.biases") + offset * scales  # absorb code offset
             p: Params = {
-                "q": jnp.asarray((codes.astype(np.int16) - offset).astype(np.int8).T),
-                "scales": jnp.asarray(scales.T),  # [in/64, out]
-                "biases": jnp.asarray(biases.T),
+                "q": np.ascontiguousarray((codes.astype(np.int16) - offset).astype(np.int8).T),
+                "scales": np.ascontiguousarray(scales.T),  # [in/64, out]
+                "biases": np.ascontiguousarray(biases.T),
             }
         else:
-            p = {"kernel": jnp.asarray(self.take(f"{key}.weight").T)}
+            p = {"kernel": np.ascontiguousarray(self.take(f"{key}.weight").T)}
         if bias and f"{key}.bias" in self.d:
-            p["bias"] = jnp.asarray(self.take(f"{key}.bias"))
+            p["bias"] = np.asarray(self.take(f"{key}.bias"))
         return p
 
     def norm(self, key: str) -> Params:
         return {
-            "scale": jnp.asarray(self.take(f"{key}.weight")),
-            "bias": jnp.asarray(self.take(f"{key}.bias")),
+            "scale": np.asarray(self.take(f"{key}.weight")),
+            "bias": np.asarray(self.take(f"{key}.bias")),
         }
 
     def conv1d(self, key: str, kernel_size: int) -> Params:
@@ -98,9 +106,9 @@ class _State:
             kernel = np.transpose(w, (1, 2, 0))
         else:
             raise ValueError(f"cannot infer conv layout for '{key}' with shape {w.shape}")
-        p = {"kernel": jnp.asarray(kernel)}
+        p = {"kernel": np.ascontiguousarray(kernel)}
         if f"{key}.bias" in self.d:
-            p["bias"] = jnp.asarray(self.take(f"{key}.bias"))
+            p["bias"] = np.asarray(self.take(f"{key}.bias"))
         return p
 
     def remaining(self) -> list[str]:
@@ -113,8 +121,8 @@ def _convnext_v2_block(s: _State, prefix: str) -> Params:
         "norm": s.norm(f"{prefix}.norm"),
         "pwconv1": s.linear(f"{prefix}.pwconv1"),
         "grn": {
-            "gamma": jnp.asarray(s.take(f"{prefix}.grn.gamma")).reshape(1, 1, -1),
-            "beta": jnp.asarray(s.take(f"{prefix}.grn.beta")).reshape(1, 1, -1),
+            "gamma": np.asarray(s.take(f"{prefix}.grn.gamma")).reshape(1, 1, -1),
+            "beta": np.asarray(s.take(f"{prefix}.grn.beta")).reshape(1, 1, -1),
         },
         "pwconv2": s.linear(f"{prefix}.pwconv2"),
     }
@@ -122,7 +130,7 @@ def _convnext_v2_block(s: _State, prefix: str) -> Params:
 
 def _text_embedding(s: _State, prefix: str, conv_layers: int, text_dim: int, max_pos: int) -> Params:
     del text_dim, max_pos  # positional table is a static constant, not a leaf
-    p: Params = {"embed": {"embedding": jnp.asarray(s.take(f"{prefix}.text_embed.weight"))}}
+    p: Params = {"embed": {"embedding": np.asarray(s.take(f"{prefix}.text_embed.weight"))}}
     if conv_layers > 0:
         p["blocks"] = [
             _convnext_v2_block(s, f"{prefix}.text_blocks.{i}") for i in range(conv_layers)
@@ -189,7 +197,7 @@ def convert_dit_state(
             "proj": s.linear("input_embed.proj"),
             "conv_pos_embed": _conv_pos_embed(s, "input_embed.conv_pos_embed"),
         },
-        "blocks": stack_block_params(blocks),
+        "blocks": _stack_blocks_np(blocks),
         "norm_out": {"linear": s.linear("norm_out.linear")},
         "proj_out": s.linear("proj_out"),
     }
@@ -223,8 +231,8 @@ def convert_duration_state(raw: dict[str, np.ndarray], cfg: DurationConfig) -> P
             "proj": s.linear("transformer.input_embed.proj"),
             "conv_pos_embed": _conv_pos_embed(s, "transformer.input_embed.conv_pos_embed"),
         },
-        "blocks": stack_block_params(blocks),
-        "norm_out": {"scale": jnp.asarray(s.take("transformer.norm_out.weight"))},
+        "blocks": _stack_blocks_np(blocks),
+        "norm_out": {"scale": np.asarray(s.take("transformer.norm_out.weight"))},
         "to_pred": s.linear("to_pred.0", bias=False),
     }
     leftovers = [k for k in s.remaining() if not k.startswith("transformer.rotary_embed.")]
@@ -254,7 +262,7 @@ def convert_vocos_state(raw: dict[str, np.ndarray], cfg: VocosConfig) -> Params:
                 "norm": s.norm(f"backbone.convnext.{i}.norm"),
                 "pwconv1": s.linear(f"backbone.convnext.{i}.pwconv1"),
                 "pwconv2": s.linear(f"backbone.convnext.{i}.pwconv2"),
-                "gamma": jnp.asarray(s.take(f"backbone.convnext.{i}.gamma")).reshape(-1),
+                "gamma": np.asarray(s.take(f"backbone.convnext.{i}.gamma")).reshape(-1),
             }
             for i in range(cfg.num_layers)
         ],
@@ -363,6 +371,62 @@ def export_duration_state(params: Params) -> dict[str, np.ndarray]:
         _export_feed_forward(out, f"{key}.ff", bp["ff"])
     out["transformer.norm_out.weight"] = np.asarray(params["norm_out"]["scale"])
     _export_linear(out, "to_pred.layers.0", params["to_pred"])
+    return out
+
+
+# ------------------------------------------------- published-artifact naming
+
+# The published model_v1.safetensors uses raw torch-EMA naming: bare
+# Sequential indices (no MLX ".layers."), torch conv layouts, and an
+# "ema_model." prefix. The reference's loader renames/reshapes those into MLX
+# form (reference: cfm.py:477-508); these helpers are the exact inverse, so
+# files we write are loadable by the reference's from_pretrained.
+_MLX_RENAMES = (
+    # (torch fragment, MLX fragment) — forward direction per cfm.py:486-496
+    (".to_out", ".to_out.layers"),
+    (".text_blocks", ".text_blocks.layers"),
+    (".ff.ff.0.0", ".ff.ff.layers.0.layers.0"),
+    (".ff.ff.2", ".ff.ff.layers.2"),
+    (".time_mlp", ".time_mlp.layers"),
+    (".conv1d", ".conv1d.layers"),
+)
+
+# keys whose values the reference transposes torch->MLX (cfm.py:499-504),
+# in torch naming
+_TORCH_CONV_SUFFIXES = (".dwconv.weight", ".conv1d.0.weight", ".conv1d.2.weight")
+
+
+def rotary_inv_freq(dim_head: int) -> np.ndarray:
+    """The RotaryEmbedding.inv_freq parameter of the reference model
+    (reference: rope.py:24). Our functional tree derives RoPE tables on the
+    fly, but the MLX model's strict load_weights requires this key, so
+    exporters reconstruct it."""
+    return (1.0 / (10000.0 ** (np.arange(0, dim_head, 2, dtype=np.float32) / dim_head))).astype(
+        np.float32
+    )
+
+
+def to_torch_ema_naming(flat: dict[str, np.ndarray], dim_head: int) -> dict[str, np.ndarray]:
+    """MLX-named DiT export -> the published model_v1.safetensors convention
+    (torch-EMA naming + torch conv layouts + rotary inv_freq)."""
+    out: dict[str, np.ndarray] = {}
+    for k, v in flat.items():
+        for torch_frag, mlx_frag in _MLX_RENAMES:
+            k = k.replace(mlx_frag, torch_frag)
+        v = np.asarray(v)
+        if k.endswith(_TORCH_CONV_SUFFIXES):
+            v = np.ascontiguousarray(np.swapaxes(v, 1, 2))  # MLX [o,k,i/g] -> torch [o,i/g,k]
+        out[f"ema_model.transformer.{k}"] = v
+    out["ema_model.transformer.rotary_embed.inv_freq"] = rotary_inv_freq(dim_head)
+    return out
+
+
+def to_mlx_model_naming(flat: dict[str, np.ndarray], dim_head: int) -> dict[str, np.ndarray]:
+    """MLX-named DiT export -> full-model MLX naming ("transformer." prefix +
+    rotary inv_freq), the convention of the published quantized artifacts and
+    of checkpoints the reference trainer writes/loads (trainer.py:67-79)."""
+    out = {f"transformer.{k}": np.asarray(v) for k, v in flat.items()}
+    out["transformer.rotary_embed.inv_freq"] = rotary_inv_freq(dim_head)
     return out
 
 

@@ -139,6 +139,28 @@ def quantize_tree(params: Params, bits: int) -> Params:
     return params
 
 
+def quantize_flat_mlx(flat: dict[str, np.ndarray], bits: int) -> dict[str, np.ndarray]:
+    """Quantize an MLX-named flat dict into the published model_v1_{4,8}b
+    convention: every eligible 2-D linear weight becomes packed uint32 codes
+    plus per-group 'scales'/'biases' siblings (reference: cfm.py:510-515);
+    embeddings, convs, and the 712-wide input proj stay float."""
+    qflat: dict[str, np.ndarray] = {}
+    for k, v in flat.items():
+        v = np.asarray(v)
+        if k.endswith(".weight") and v.ndim == 2 and quantizable(v.T.shape) \
+                and not k.endswith("text_embed.text_embed.weight"):
+            qp = quantize_kernel(v.T.astype(np.float32), bits)
+            offset = 1 << (bits - 1)
+            codes = (np.asarray(qp["q"]).astype(np.int16) + offset).astype(np.uint8).T
+            qflat[k] = pack_mlx_uint32(codes, bits)
+            qflat[k[:-7] + ".scales"] = np.ascontiguousarray(np.asarray(qp["scales"]).T)
+            qflat[k[:-7] + ".biases"] = np.ascontiguousarray(
+                np.asarray(qp["biases"] - offset * qp["scales"]).T)
+        else:
+            qflat[k] = v
+    return qflat
+
+
 def convert_quantized_dit_state(raw: dict[str, np.ndarray], cfg, bits: int) -> Params:
     """Load an MLX-quantized published checkpoint (model_v1_{4,8}b.safetensors).
 

@@ -57,9 +57,13 @@ class DurationTrainer:
         from safetensors.numpy import save_file
 
         params = self.state["params"] if self.state else self.model.params
-        flat = export_duration_state(params)
-        save_file({k: np.ascontiguousarray(np.asarray(v)) for k, v in flat.items()},
-                  self.results_dir / f"duration_{step}.safetensors")
+        flat = {k: np.ascontiguousarray(np.asarray(v))
+                for k, v in export_duration_state(params).items()}
+        # reference-loadable: the MLX model's strict load needs its rotary param
+        from f5_tts_tpu.models.convert import rotary_inv_freq
+
+        flat["transformer.rotary_embed.inv_freq"] = rotary_inv_freq(self.model.cfg.dim_head)
+        save_file(flat, self.results_dir / f"duration_{step}.safetensors")
 
     def load_checkpoint(self, step: int) -> None:
         from safetensors.numpy import load_file

@@ -30,7 +30,7 @@ import optax
 from f5_tts_tpu.audio.mel import MelSpec
 from f5_tts_tpu.config import CFMConfig, DiTConfig
 from f5_tts_tpu.models.cfm import F5TTS, cfm_loss
-from f5_tts_tpu.models.convert import convert_dit_state, export_dit_state
+from f5_tts_tpu.models.convert import convert_dit_state, export_dit_state, to_mlx_model_naming
 from f5_tts_tpu.utils.modules import Params
 
 TARGET_RMS = 0.1
@@ -149,12 +149,18 @@ class F5TTSTrainer:
         os.makedirs(self.results_dir, exist_ok=True)
         from safetensors.numpy import save_file
 
-        flat = export_dit_state(self.state["params"] if self.state else self.model.params)
+        # full-model MLX naming ("transformer." prefix + rotary inv_freq):
+        # the convention the reference trainer writes and load_weights expects
+        # (reference: trainer.py:67-79)
+        dim_head = self.model.dit_cfg.dim_head
+        flat = to_mlx_model_naming(
+            export_dit_state(self.state["params"] if self.state else self.model.params), dim_head
+        )
         save_file({k: np.ascontiguousarray(np.asarray(v)) for k, v in flat.items()},
                   self.results_dir / f"f5tts_{step}.safetensors")
 
         if self.state is not None and "ema" in self.state:
-            ema_flat = export_dit_state(self.state["ema"])
+            ema_flat = to_mlx_model_naming(export_dit_state(self.state["ema"]), dim_head)
             save_file({k: np.ascontiguousarray(np.asarray(v)) for k, v in ema_flat.items()},
                       self.results_dir / f"f5tts_{step}.ema.safetensors")
 
