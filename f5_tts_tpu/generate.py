@@ -255,24 +255,36 @@ def generate(
             model.cfm_cfg.max_duration,
         )
 
-        waves, _ = model.sample(
-            cond_mel,
-            text=jnp.asarray(text_ids),
-            duration=durations,
-            steps=steps,
-            method=method,
-            speed=speed,
-            cfg_strength=cfg_strength,
-            sway_sampling_coef=sway_sampling_coef,
-            seed=seed,
-            return_trajectory=False,
-            cfg_interval=cfg_interval,
-        )
-        waves = np.asarray(waves)
-        pieces = []
-        for i in range(len(sentences)):
-            end = min((int(durations[i]) - 1) * HOP_LENGTH, waves.shape[1])
-            pieces.append(waves[i, ref_frames * HOP_LENGTH : end])
+        # length-grouped sub-batching: sentences padded only to their own
+        # duration bucket, not the longest sentence's — a mixed-length request
+        # no longer pays max-bucket compute per sentence (same grouping logic
+        # as the serving micro-batcher)
+        bucket = model.cfm_cfg.duration_bucket
+        groups: dict[int, list[int]] = {}
+        for i, d in enumerate(durations):
+            groups.setdefault(-(-max(int(d), 1) // bucket), []).append(i)
+
+        pieces: list = [None] * len(sentences)
+        for _, idxs in sorted(groups.items()):
+            waves, _ = model.sample(
+                cond_mel[jnp.asarray(idxs)],
+                text=jnp.asarray(text_ids[idxs]),
+                duration=durations[idxs],
+                steps=steps,
+                method=method,
+                speed=speed,
+                cfg_strength=cfg_strength,
+                sway_sampling_coef=sway_sampling_coef,
+                seed=seed,
+                return_trajectory=False,
+                cfg_interval=cfg_interval,
+            )
+            waves = np.asarray(waves)
+            if waves.ndim == 1:
+                waves = waves[None, :]
+            for j, i in enumerate(idxs):
+                end = min((int(durations[i]) - 1) * HOP_LENGTH, waves.shape[1])
+                pieces[i] = waves[j, ref_frames * HOP_LENGTH : end]
         wave = np.concatenate(pieces, axis=0)
 
     generated_duration = wave.shape[0] / SAMPLE_RATE
