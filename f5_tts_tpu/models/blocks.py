@@ -282,12 +282,31 @@ def attention(
     k = linear(p["to_k"], x).reshape(b, n, heads, -1).transpose(0, 2, 1, 3)
     v = linear(p["to_v"], x).reshape(b, n, heads, -1).transpose(0, 2, 1, 3)
 
+    rope = None
     if rope_freqs is not None:
-        q = apply_rotary_pos_emb(q, rope_freqs)
-        k = apply_rotary_pos_emb(k, rope_freqs)
+        if isinstance(rope_freqs, tuple):
+            cos, sin = rope_freqs
+        else:
+            cos, sin = jnp.cos(rope_freqs), jnp.sin(rope_freqs)
+        # Full-head rotation on the flash path is applied INSIDE the kernel
+        # (same math, two fewer HBM round-trips per layer — ~44% faster per
+        # attention layer at base config, docs/PERFORMANCE.md); partial
+        # rotation or non-kernel backends rotate here with XLA ops.
+        fused = False
+        if use_flash and cos.shape[-1] == q.shape[-1]:
+            from f5_tts_tpu.ops.flash_attention import flash_supported
+
+            fused = flash_supported(q)
+        if fused:
+            rope = (cos[-n:, :], sin[-n:, :])
+        else:
+            q = apply_rotary_pos_emb(q, (cos, sin))
+            k = apply_rotary_pos_emb(k, (cos, sin))
 
     scale = 1.0 / math.sqrt(q.shape[-1])
-    out = scaled_dot_product_attention(q, k, v, scale, key_mask=mask, use_flash=use_flash)
+    out = scaled_dot_product_attention(
+        q, k, v, scale, key_mask=mask, use_flash=use_flash, rope=rope
+    )
     out = out.transpose(0, 2, 1, 3).reshape(b, n, -1)
     out = linear(p["to_out"], out)
     if dropout_key is not None and dropout_rate > 0.0:

@@ -155,6 +155,96 @@ def cfm_sample_mel(
                   return_trajectory=return_trajectory)
 
 
+@partial(
+    jax.jit,
+    static_argnames=(
+        "dit_cfg",
+        "padded_len",
+        "max_dur",
+        "method",
+        "cfg_strength",
+        "return_trajectory",
+        "shared_noise",
+        "mel_fn",
+        "vocoder_fn",
+    ),
+)
+def cfm_sample_e2e(
+    params: Params,
+    dit_cfg: DiTConfig,
+    cond: jax.Array,  # [b, nc, d] mel, or [1, nw] raw wave when mel_fn is set
+    lens: jax.Array,  # [b] i32 reference lengths in frames
+    duration: jax.Array,  # [b] i32 total durations in frames
+    text: jax.Array,  # [b, padded_len] int ids padded with -1
+    ts: jax.Array,  # [steps] sway-warped time grid
+    y0: jax.Array | None,  # [b, n, d] noise override, or None to draw from seed
+    seed: jax.Array,  # scalar int; ignored when y0 is given
+    *,
+    padded_len: int,
+    max_dur: int,
+    method: str,
+    cfg_strength: float,
+    return_trajectory: bool,
+    shared_noise: bool,
+    mel_fn=None,
+    vocoder_fn=None,
+):
+    """The whole serving pipeline in ONE jit: reference mel (optional) ->
+    masks/conditioning prep -> ODE integration -> composite with the
+    reference -> vocoder (optional).
+
+    Functionally identical to the step-by-step path `sample()` uses for
+    segmented-CFG runs (same helpers, same trim-before-vocoder semantics);
+    fusing it means one device dispatch per request instead of ~10, which
+    matters doubly behind dispatch-latency-bound transports (each dependent
+    round trip costs ~30 ms on the axon tunnel, docs/PERFORMANCE.md) and lets
+    XLA overlap the prep elementwise work with weight prefetch.
+
+    `max_dur` is static: the jit cache gets one entry per (bucketed) shape
+    pair, exactly the granularity the step-by-step path's vocoder call
+    already had. Returns (mel_out [b, max_dur, d], trajectory, wave|None).
+    """
+    if cond.ndim == 2:
+        cond = mel_fn(cond.reshape(-1))  # [1, nc, d]
+    cond = cond.astype(jnp.float32)
+    b, nc, d = cond.shape
+    cond = jnp.pad(cond, ((0, 0), (0, padded_len - nc), (0, 0)))
+    cond_mask = lens_to_mask(lens, padded_len)[..., None]
+    step_cond = jnp.where(cond_mask, cond, jnp.zeros_like(cond))
+    dur_mask = lens_to_mask(duration, padded_len)
+
+    if y0 is None:
+        if shared_noise:
+            # fixed-seed quirk: the SAME noise for every batch item
+            # (reference: cfm.py:369-375)
+            noise = jax.random.normal(jax.random.key(seed), (padded_len, d))
+            y0 = jnp.broadcast_to(noise, (b, padded_len, d))
+        else:
+            y0 = jax.random.normal(jax.random.key(seed), (b, padded_len, d))
+    else:
+        y0 = y0.astype(jnp.float32)
+        y0 = jnp.pad(y0, ((0, 0), (0, padded_len - y0.shape[1]), (0, 0)))
+    y0 = y0 * dur_mask[..., None]
+
+    trajectory = cfm_sample_mel(
+        params,
+        dit_cfg,
+        y0,
+        step_cond,
+        text,
+        dur_mask,
+        ts.astype(jnp.float32),
+        method=method,
+        cfg_strength=cfg_strength,
+        has_mask=True,
+        return_trajectory=return_trajectory,
+    )
+    out = jnp.where(cond_mask, cond, trajectory[-1])[:, :max_dur]
+    trajectory = trajectory[:, :, :max_dur]
+    wave = vocoder_fn(out) if vocoder_fn is not None else None
+    return out, trajectory, wave
+
+
 def clamp_duration(
     duration: np.ndarray, lens: np.ndarray, text_lens: np.ndarray, max_duration: int
 ) -> np.ndarray:
@@ -403,7 +493,8 @@ class F5TTS:
         """
         max_duration = max_duration or self.cfm_cfg.max_duration
         cond = jnp.asarray(cond)
-        if cond.ndim == 2:
+        is_wave = cond.ndim == 2
+        if is_wave:
             # raw-wave input is single-item only, like the reference's
             # "1 n -> n" rearrange (cfm.py:283-284); batched callers pass mel
             if cond.shape[0] != 1:
@@ -411,11 +502,15 @@ class F5TTS:
                     f"raw-wave cond must have batch 1, got {cond.shape[0]}; "
                     "pass precomputed mel [b, n, d] for batched sampling"
                 )
-            cond = self._mel_spec(cond.reshape(-1))
+            # the mel itself is computed inside the fused sampling jit; only
+            # its frame count is needed host-side (frames == samples // hop,
+            # reference: audio.py:202 drop-last-frame arithmetic)
+            batch = 1
+            cond_seq_len = cond.shape[1] // self.audio_cfg.hop_length
+        else:
             assert cond.shape[-1] == self.num_channels
-        cond = cond.astype(jnp.float32)
-
-        batch, cond_seq_len = cond.shape[0], cond.shape[1]
+            cond = cond.astype(jnp.float32)
+            batch, cond_seq_len = cond.shape[0], cond.shape[1]
         lens_np = (
             np.full((batch,), cond_seq_len, dtype=np.int32)
             if lens is None
@@ -435,6 +530,9 @@ class F5TTS:
                 raise ValueError(
                     "Duration must be provided or a duration predictor must be set."
                 )
+            if is_wave:
+                cond = self._mel_spec(cond.reshape(-1))
+                is_wave = False
             duration = self.predict_duration(cond, jnp.asarray(text_np), speed)
         if isinstance(duration, (int, np.integer)):
             duration = np.full((batch,), duration, dtype=np.int32)
@@ -445,6 +543,45 @@ class F5TTS:
         bucket = self.cfm_cfg.duration_bucket
         padded_len = max(bucket, math.ceil(max_dur / bucket) * bucket)
 
+        # pad text ids to the padded mel length host-side so jit sees one shape
+        text_ids = np.full((batch, padded_len), -1, dtype=np.int32)
+        ncopy = min(text_np.shape[1], padded_len)
+        text_ids[:, :ncopy] = text_np[:, :ncopy]
+
+        ts_np = sway_time_grid(steps, sway_sampling_coef)
+
+        if cfg_interval is None or len(ts_np) < 2:
+            # the hot serving path: prep + ODE + composite + vocoder in ONE jit
+            seed_val = int(seed) if seed is not None else np.random.randint(0, 2**31 - 1)
+            out, trajectory, wave = cfm_sample_e2e(
+                self._inference_params(),
+                self.dit_cfg,
+                cond,
+                jnp.asarray(lens_np),
+                jnp.asarray(duration),
+                jnp.asarray(text_ids),
+                jnp.asarray(ts_np),
+                None if y0 is None else jnp.asarray(y0),
+                jnp.int32(seed_val),
+                padded_len=padded_len,
+                max_dur=max_dur,
+                method=method,
+                cfg_strength=float(cfg_strength),
+                return_trajectory=return_trajectory,
+                shared_noise=seed is not None,
+                mel_fn=self._mel_spec if is_wave else None,
+                vocoder_fn=self._vocoder,
+            )
+            if wave is not None:
+                if batch == 1:
+                    wave = wave.reshape(-1)
+                return wave, trajectory
+            return out, trajectory
+
+        # segmented-CFG path (opt-in cfg_interval): step-by-step prep so the
+        # integration can be split into host-scheduled CFG-on/off pieces
+        if is_wave:
+            cond = self._mel_spec(cond.reshape(-1))
         cond = jnp.pad(cond, ((0, 0), (0, padded_len - cond_seq_len), (0, 0)))
         cond_mask = lens_to_mask(jnp.asarray(lens_np), padded_len)[..., None]
         step_cond = jnp.where(cond_mask, cond, jnp.zeros_like(cond))
@@ -466,13 +603,6 @@ class F5TTS:
             )
         y0 = y0 * dur_mask[..., None]
 
-        # pad text ids to the padded mel length host-side so jit sees one shape
-        text_ids = np.full((batch, padded_len), -1, dtype=np.int32)
-        ncopy = min(text_np.shape[1], padded_len)
-        text_ids[:, :ncopy] = text_np[:, :ncopy]
-
-        ts_np = sway_time_grid(steps, sway_sampling_coef)
-
         def integrate(y_start, ts_seg, cfg):
             return cfm_sample_mel(
                 self._inference_params(),
@@ -488,25 +618,22 @@ class F5TTS:
                 return_trajectory=return_trajectory,
             )
 
-        if cfg_interval is None or len(ts_np) < 2:
-            trajectory = integrate(y0, ts_np, float(cfg_strength))
-        else:
-            lo, hi = cfg_interval
-            # contiguous host-side segments: CFG on where t in [lo, hi]
-            active = (ts_np[:-1] >= lo) & (ts_np[:-1] <= hi)
-            pieces = []
-            y_cur = y0
-            i = 0
-            while i < len(ts_np) - 1:
-                j = i
-                while j < len(ts_np) - 1 and active[j] == active[i]:
-                    j += 1
-                seg = integrate(y_cur, ts_np[i : j + 1],
-                                float(cfg_strength) if active[i] else 0.0)
-                pieces.append(seg if not pieces else seg[1:])  # drop dup boundary
-                y_cur = seg[-1]
-                i = j
-            trajectory = jnp.concatenate(pieces, axis=0)
+        lo, hi = cfg_interval
+        # contiguous host-side segments: CFG on where t in [lo, hi]
+        active = (ts_np[:-1] >= lo) & (ts_np[:-1] <= hi)
+        pieces = []
+        y_cur = y0
+        i = 0
+        while i < len(ts_np) - 1:
+            j = i
+            while j < len(ts_np) - 1 and active[j] == active[i]:
+                j += 1
+            seg = integrate(y_cur, ts_np[i : j + 1],
+                            float(cfg_strength) if active[i] else 0.0)
+            pieces.append(seg if not pieces else seg[1:])  # drop dup boundary
+            y_cur = seg[-1]
+            i = j
+        trajectory = jnp.concatenate(pieces, axis=0)
 
         sampled = trajectory[-1]
         out = jnp.where(cond_mask, cond, sampled)

@@ -38,15 +38,25 @@ def scaled_dot_product_attention(
     scale: float,
     key_mask: jax.Array | None = None,
     use_flash: bool = True,
+    rope: tuple[jax.Array, jax.Array] | None = None,  # (cos, sin) [n, d]
 ) -> jax.Array:
     """Dispatch to the Pallas flash kernel on TPU when shapes allow, else the
-    XLA fallback."""
+    XLA fallback.
+
+    `rope` carries rotary tables for IN-KERNEL application (the hot path —
+    see ops/flash_attention.py); the fallback applies the identical rotation
+    with XLA ops first, so both paths compute the same function."""
     if use_flash:
         try:
             from f5_tts_tpu.ops.flash_attention import flash_attention, flash_supported
 
             if flash_supported(q):
-                return flash_attention(q, k, v, scale=scale, key_mask=key_mask)
+                return flash_attention(q, k, v, scale=scale, key_mask=key_mask, rope=rope)
         except ImportError:
             pass
+    if rope is not None:
+        from f5_tts_tpu.models.rope import apply_rotary_pos_emb
+
+        q = apply_rotary_pos_emb(q, rope)
+        k = apply_rotary_pos_emb(k, rope)
     return sdpa_reference(q, k, v, scale, key_mask)

@@ -1,10 +1,18 @@
-"""Pallas TPU attention kernel (non-causal, key-padding mask).
+"""Pallas TPU attention kernel (non-causal, key-padding mask, fused RoPE).
 
 Replaces the XLA attention for the DiT hot path (the reference's equivalent is
 MLX's fused Metal SDPA, reference: dit.py:166). The win on TPU is keeping the
 [n_q, n_k] logits in VMEM: XLA's unfused path writes the full [b, h, n, n]
 score tensor to HBM twice per layer, which at n=1024 is ~the same traffic as
 all the matmul weights combined.
+
+RoPE is fused into the kernel: the interleaved-pair rotation
+(reference: rope.py:87-107) is algebraically `x * cos + (x @ P) * sin` where P
+is the constant pair-swap-with-sign matrix (P[2j, 2j+1]=1, P[2j+1, 2j]=-1), an
+exact identity (see tests). On the MXU the [n, d] @ [d, d] rotation matmul is
+essentially free, while the XLA-side rotate_half (strided pair shuffle on the
+lane dimension) costs more than the attention kernel itself — fusing it in
+nearly halves the measured per-layer attention time (docs/PERFORMANCE.md).
 
 Design for this model family (n <= 4096, d_head 64, non-causal, at most a
 key-padding mask): the whole K/V for one (batch, head) fits VMEM comfortably
@@ -22,6 +30,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 
 try:  # pallas TPU backend
@@ -46,32 +55,83 @@ def flash_supported(q: jax.Array) -> bool:
     return d in (64, 128, 256) and q.shape[-2] >= 8
 
 
-def _attn_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale: float):
-    q = q_ref[0, 0]  # [BQ, d]
-    k = k_ref[0, 0]  # [n, d]
-    v = v_ref[0, 0]  # [n, d]
+@functools.lru_cache(maxsize=None)
+def rope_perm_matrix(d: int) -> np.ndarray:
+    """P with x @ P == rotate_half(x) for the interleaved-pair rotary layout
+    (reference: rope.py:87-91): even lane 2j receives -x[2j+1], odd lane 2j+1
+    receives x[2j]."""
+    P = np.zeros((d, d), np.float32)
+    for j in range(0, d, 2):
+        P[j + 1, j] = -1.0
+        P[j, j + 1] = 1.0
+    return P
 
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    s = s * scale  # [BQ, n] in VMEM, float32
 
-    if mask_ref is not None:
-        keep = mask_ref[0] != 0  # [1, n] (kept 2D: TPU vector layout needs >=2D)
-        s = jnp.where(keep, s, _NEG_INF)
+def _make_kernel(scale: float, block_q: int, has_mask: bool, has_rope: bool):
+    def kernel(*refs):
+        i = 3
+        q_ref, k_ref, v_ref = refs[:3]
+        mask_ref = None
+        cos_ref = sin_ref = p_ref = None
+        if has_mask:
+            mask_ref = refs[i]
+            i += 1
+        if has_rope:
+            cos_ref, sin_ref, p_ref = refs[i : i + 3]
+            i += 3
+        o_ref = refs[i]
 
-    m = jnp.max(s, axis=-1, keepdims=True)
-    p = jnp.exp(s - m)
-    denom = jnp.sum(p, axis=-1, keepdims=True)
+        q = q_ref[0, 0]  # [BQ, d]
+        k = k_ref[0, 0]  # [n, d]
+        v = v_ref[0, 0]  # [n, d]
 
-    o = jax.lax.dot_general(
-        p.astype(v.dtype), v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    o_ref[0, 0] = (o / denom).astype(o_ref.dtype)
+        if has_rope:
+            sin_all = sin_ref[...].astype(q.dtype)  # [n, d]
+            cos_all = cos_ref[...].astype(q.dtype)
+            P = p_ref[...].astype(q.dtype)
+            qi = pl.program_id(2)
+            cos_q = cos_ref[pl.ds(qi * block_q, block_q), :].astype(q.dtype)
+            sin_q = sin_ref[pl.ds(qi * block_q, block_q), :].astype(q.dtype)
+            # P is a signed permutation (one +-1 per row), so the rotation
+            # matmul is exact for bf16 inputs at any precision; HIGHEST keeps
+            # it exact for float32 inputs too (default MXU precision would
+            # truncate the f32 mantissa). Mosaic rejects fp32 contract
+            # precision on bf16 operands, so request it only for f32.
+            hi = (
+                jax.lax.Precision.HIGHEST
+                if q.dtype == jnp.float32
+                else jax.lax.Precision.DEFAULT
+            )
+            q = q * cos_q + jax.lax.dot(
+                q, P, precision=hi, preferred_element_type=jnp.float32
+            ).astype(q.dtype) * sin_q
+            k = k * cos_all + jax.lax.dot(
+                k, P, precision=hi, preferred_element_type=jnp.float32
+            ).astype(k.dtype) * sin_all
+
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        s = s * scale  # [BQ, n] in VMEM, float32
+
+        if has_mask:
+            keep = mask_ref[0] != 0  # [1, n] (kept 2D: TPU vector layout needs >=2D)
+            s = jnp.where(keep, s, _NEG_INF)
+
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        denom = jnp.sum(p, axis=-1, keepdims=True)
+
+        o = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        o_ref[0, 0] = (o / denom).astype(o_ref.dtype)
+
+    return kernel
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "block_q"))
-def _flash_attention_call(q, k, v, mask, scale: float, block_q: int):
+def _flash_attention_call(q, k, v, mask, rope, scale: float, block_q: int):
     b, h, n, d = q.shape
     grid = (b, h, n // block_q)
 
@@ -84,12 +144,13 @@ def _flash_attention_call(q, k, v, mask, scale: float, block_q: int):
     if mask is not None:
         in_specs.append(pl.BlockSpec((1, 1, n), lambda bi, hi, qi: (bi, 0, 0)))
         args.append(mask.astype(jnp.int8)[:, None, :])
-        kernel = functools.partial(_attn_kernel, scale=scale)
-    else:
-        kernel = functools.partial(
-            lambda qr, kr, vr, orf, scale: _attn_kernel(qr, kr, vr, None, orf, scale=scale),
-            scale=scale,
-        )
+    if rope is not None:
+        cos, sin = rope
+        tab_spec = pl.BlockSpec((n, d), lambda bi, hi, qi: (0, 0))
+        in_specs += [tab_spec, tab_spec, pl.BlockSpec((d, d), lambda bi, hi, qi: (0, 0))]
+        args += [cos, sin, jnp.asarray(rope_perm_matrix(d))]
+
+    kernel = _make_kernel(scale, block_q, mask is not None, rope is not None)
 
     # interpret mode keeps the kernel testable on CPU
     interpret = jax.devices()[0].platform.lower() not in ("tpu", "axon")
@@ -110,14 +171,20 @@ def flash_attention(
     v: jax.Array,
     scale: float,
     key_mask: jax.Array | None = None,  # [b, n] bool, True = keep
+    rope: tuple[jax.Array, jax.Array] | None = None,  # (cos, sin), each [n, d]
 ) -> jax.Array:
     """Fused attention; pads the sequence to a BLOCK_Q multiple internally
     (padded keys are masked out, padded query rows are discarded).
 
+    When `rope` is given, the interleaved-pair rotary embedding
+    (reference: rope.py:94-107) is applied to q and k INSIDE the kernel, so
+    callers skip two full HBM round-trips per layer. The tables must cover
+    exactly n rows and the full head dim.
+
     Differentiable: the forward runs the Pallas kernel; the backward
-    recomputes attention with XLA ops (flash-style rematerialization — no
-    probs are saved) and differentiates that, so training works on TPU where
-    pallas_call has no reverse-mode rule.
+    recomputes attention (including the rotation, which is linear) with XLA
+    ops and differentiates that (flash-style rematerialization — no probs are
+    saved), so training works on TPU where pallas_call has no reverse rule.
     """
     b, h, n, d = q.shape
     block_q = min(BLOCK_Q, max(_next_multiple(n, 8), 8))
@@ -133,9 +200,24 @@ def flash_attention(
             key_mask = jnp.broadcast_to(key_mask, (b, n_pad))
         else:
             key_mask = jnp.pad(key_mask, [(0, 0), (0, n_pad - n)])
+        if rope is not None:
+            cos, sin = rope
+            rope = (
+                jnp.pad(cos, [(0, n_pad - n), (0, 0)]),
+                jnp.pad(sin, [(0, n_pad - n), (0, 0)]),
+            )
 
-    out = _flash_attention_call(q, k, v, key_mask, float(scale), block_q)
+    out = _flash_attention_call(q, k, v, key_mask, rope, float(scale), block_q)
     return out[:, :, :n, :]
+
+
+def _apply_rope_xla(x, rope):
+    """XLA-side equivalent of the in-kernel rotation (used by the backward)."""
+    cos, sin = rope
+    cos = cos.astype(x.dtype)
+    sin = sin.astype(x.dtype)
+    P = jnp.asarray(rope_perm_matrix(x.shape[-1])).astype(x.dtype)
+    return x * cos + (x @ P) * sin
 
 
 def _xla_attention(q, k, v, scale, key_mask):
@@ -148,15 +230,22 @@ def _xla_attention(q, k, v, scale, key_mask):
     return jnp.einsum("bhqk,bhkd->bhqd", p, v)
 
 
-def _flash_fwd(q, k, v, scale, key_mask):
-    return flash_attention(q, k, v, scale, key_mask), (q, k, v, key_mask)
+def _flash_fwd(q, k, v, scale, key_mask, rope):
+    return flash_attention(q, k, v, scale, key_mask, rope), (q, k, v, key_mask, rope)
 
 
 def _flash_bwd(scale, residuals, g):
-    q, k, v, key_mask = residuals
-    _, vjp = jax.vjp(lambda q, k, v: _xla_attention(q, k, v, scale, key_mask), q, k, v)
+    q, k, v, key_mask, rope = residuals
+
+    def f(q, k, v):
+        if rope is not None:
+            q = _apply_rope_xla(q, rope)
+            k = _apply_rope_xla(k, rope)
+        return _xla_attention(q, k, v, scale, key_mask)
+
+    _, vjp = jax.vjp(f, q, k, v)
     dq, dk, dv = vjp(g)
-    return dq, dk, dv, None
+    return dq, dk, dv, None, None
 
 
 flash_attention.defvjp(_flash_fwd, _flash_bwd)

@@ -111,10 +111,19 @@ def conv1d(
     padding: int | str = "SAME",
     dilation: int = 1,
 ) -> jax.Array:
-    """1D convolution on [b, n, c] inputs via lax.conv_general_dilated
-    (the TPU-native lowering of the reference's grouped/depthwise nn.Conv1d,
-    reference: dit.py:34-36, convnext_v2.py:35-37)."""
+    """1D convolution on [b, n, c] inputs (the TPU-native lowering of the
+    reference's grouped/depthwise nn.Conv1d, reference: dit.py:34-36,
+    convnext_v2.py:35-37).
+
+    Grouped-but-not-depthwise convs (the k31/g16 conv position embedding) use
+    a tap-sum of per-group einsums instead of XLA's feature_group_count
+    lowering, which measures ~2.5x slower on v5e (tools/fusion_probe.py);
+    the einsum form keeps each tap a dense [b, n, g, in] x [g, in, out]
+    contraction on the MXU, accumulated in float32."""
     kernel = p["kernel"].astype(x.dtype)
+    ks, in_pg, d_out = kernel.shape
+    if groups > 1 and in_pg > 1 and dilation == 1:
+        return _grouped_conv_tapsum(kernel, p.get("bias"), x, groups, padding)
     if isinstance(padding, int):
         padding = [(padding, padding)]
     y = jax.lax.conv_general_dilated(
@@ -128,6 +137,40 @@ def conv1d(
     )
     if "bias" in p:
         y = y + p["bias"].astype(x.dtype)
+    return y
+
+
+def _grouped_conv_tapsum(
+    kernel: jax.Array,  # [k, in_per_group, d_out]
+    bias: jax.Array | None,
+    x: jax.Array,  # [b, n, c]
+    groups: int,
+    padding: int | str,
+) -> jax.Array:
+    ks, in_pg, d_out = kernel.shape
+    b, n, c = x.shape
+    out_pg = d_out // groups
+    if padding == "SAME":
+        lo = (ks - 1) // 2
+        hi = ks - 1 - lo
+    else:
+        lo = hi = int(padding)
+    # [g, k, in, out]: group g's output channels read only group g's inputs
+    wg = jnp.transpose(kernel.reshape(ks, in_pg, groups, out_pg), (2, 0, 1, 3))
+    xg = x.reshape(b, n, groups, in_pg)
+    xp = jnp.pad(xg, ((0, 0), (lo, hi), (0, 0), (0, 0)))
+    n_out = n + lo + hi - ks + 1
+    y = jnp.zeros((b, n_out, groups, out_pg), jnp.float32)
+    for k in range(ks):
+        y = y + jnp.einsum(
+            "bngi,gio->bngo",
+            xp[:, k : k + n_out],
+            wg[:, k],
+            preferred_element_type=jnp.float32,
+        )
+    y = y.astype(x.dtype).reshape(b, n_out, d_out)
+    if bias is not None:
+        y = y + bias.astype(x.dtype)
     return y
 
 
