@@ -29,6 +29,7 @@ from f5_tts_tpu.models.dit import (
     dit_forward,
     dit_forward_precomputed,
     dit_text_embed,
+    dit_time_mods,
     init_dit,
 )
 from f5_tts_tpu.models.ode import odeint
@@ -121,14 +122,21 @@ def cfm_sample_mel(
     del has_mask  # only disambiguates the jit cache when mask is None
     b, n = y0.shape[0], y0.shape[1]
 
+    # every sampling evaluation shares one scalar flow time across the (CFG-
+    # doubled) batch and the grid is fixed, so the whole AdaLN time-
+    # conditioning schedule is precomputed outside the step scan (see
+    # dit_time_mods / odeint's schedule_fn)
+    def schedule_fn(times):
+        return dit_time_mods(params, dit_cfg, times)
+
     if cfg_strength < 1e-5:
         # the text embedding is ODE-step invariant: compute once, not per step
         text_embed = dit_text_embed(params, dit_cfg, text, n, drop_text=False)
 
-        def fn(t, x):
+        def fn(t, x, mods):
             return dit_forward_precomputed(
                 params, dit_cfg, x, step_cond, text_embed, t,
-                drop_audio_cond=False, mask=mask,
+                drop_audio_cond=False, mask=mask, time_mods=mods,
             )
     else:
         # Batched CFG: cond+uncond in one 2B forward; both streams' (constant)
@@ -143,16 +151,16 @@ def cfm_sample_mel(
             ]
         )
 
-        def fn(t, x):
+        def fn(t, x, mods):
             pred2 = dit_forward_precomputed(
                 params, dit_cfg, jnp.concatenate([x, x]), step_cond2, text_embed2, t,
-                drop_audio_cond=drop, mask=mask2,
+                drop_audio_cond=drop, mask=mask2, time_mods=mods,
             )
             pred, null_pred = pred2[:b], pred2[b:]
             return pred + (pred - null_pred) * cfg_strength
 
     return odeint(fn, y0.astype(jnp.float32), ts.astype(jnp.float32), method,
-                  return_trajectory=return_trajectory)
+                  return_trajectory=return_trajectory, schedule_fn=schedule_fn)
 
 
 @partial(

@@ -72,6 +72,32 @@ def dit_text_embed(
     )
 
 
+def dit_time_mods(params: Params, cfg: DiTConfig, times: jax.Array) -> dict:
+    """Precompute the time-conditioning schedule for a batch of flow times.
+
+    `times` [m] -> {"blocks": [m, depth, 1, 6*dim], "final": [m, 1, 2*dim]}.
+
+    Everything the DiT derives from the timestep — the sinusoidal MLP
+    embedding (reference: dit.py:73-82) and every layer's AdaLN-Zero
+    modulation (dit.py:259-290) — depends only on t, and the ODE sampler's
+    evaluation times are known up front. Computing the whole schedule as a
+    few batched matmuls BEFORE the step scan removes ~138M params of AdaLN
+    weight reads per ODE step (the in-scan alternative is 22 m=2 matmuls that
+    run at HBM weight-read speed, ~0.3 ms of serial time per step at base
+    config). The leading-1 axis broadcasts over the (CFG-doubled) batch,
+    which always shares the step's scalar time during sampling.
+    """
+    dtype = jnp.dtype(cfg.compute_dtype)
+    t_emb = B.timestep_embedding(params["time_embed"], times, dtype=dtype)  # [m, dim]
+    block_mods = jax.vmap(lambda bp: B.adaln_mods(bp, t_emb))(
+        params["blocks"]["attn_norm"]
+    )  # [depth, m, 6*dim]
+    return {
+        "blocks": jnp.transpose(block_mods, (1, 0, 2))[:, :, None, :],
+        "final": B.adaln_mods(params["norm_out"], t_emb)[:, None, :],
+    }
+
+
 def dit_forward_precomputed(
     params: Params,
     cfg: DiTConfig,
@@ -82,20 +108,27 @@ def dit_forward_precomputed(
     drop_audio_cond=False,  # bool | [b] bool — per-sample flags enable batched CFG
     mask: jax.Array | None = None,  # [b, n] bool padding mask
     dropout_key: jax.Array | None = None,  # training-only; None = deterministic
+    time_mods: dict | None = None,  # one dit_time_mods slice: {"blocks": [depth, 1, 6*dim], "final": [1, 2*dim]}
 ) -> jax.Array:
     """Backbone forward with a precomputed text embedding -> [b, n, mel]
-    float32 flow prediction (reference: dit.py:374-401)."""
+    float32 flow prediction (reference: dit.py:374-401).
+
+    `time_mods` (sampling hot path) supplies this evaluation time's
+    precomputed AdaLN modulations — see dit_time_mods; `time` is then unused.
+    Mutually exclusive with dropout (the sampler never trains)."""
     dtype = jnp.dtype(cfg.compute_dtype)
     batch = x.shape[0]
-
-    time = jnp.asarray(time)
-    if time.ndim == 0:
-        time = jnp.broadcast_to(time, (batch,))
 
     x = x.astype(dtype)
     cond = cond.astype(dtype)
 
-    t = B.timestep_embedding(params["time_embed"], time, dtype=dtype)
+    if time_mods is None:
+        time = jnp.asarray(time)
+        if time.ndim == 0:
+            time = jnp.broadcast_to(time, (batch,))
+        t = B.timestep_embedding(params["time_embed"], time, dtype=dtype)
+    else:
+        t = None
     x = B.input_embedding(params["input_embed"], x, cond, text_embed, drop_audio_cond=drop_audio_cond)
 
     raw = rotary_freqs(x.shape[1], cfg.dim_head)
@@ -103,18 +136,26 @@ def dit_forward_precomputed(
 
     use_dropout = dropout_key is not None and cfg.dropout > 0.0
 
-    def block_fn(h, block_p, layer_key):
+    def block_fn(h, block_p, layer_key, mod=None):
         return B.dit_block(
             block_p, h, t, cfg.heads, mask=mask, rope_freqs=freqs,
             use_flash=cfg.use_flash_attention,
             dropout_rate=cfg.dropout,
             dropout_key=layer_key if use_dropout else None,
+            mod=mod,
         )
 
     if cfg.remat:
         block_fn = jax.checkpoint(block_fn)
 
-    if use_dropout:
+    if time_mods is not None:
+
+        def body(h, xs):
+            block_p, mod = xs
+            return block_fn(h, block_p, None, mod), None
+
+        x, _ = jax.lax.scan(body, x, (params["blocks"], time_mods["blocks"]))
+    elif use_dropout:
         layer_keys = jax.random.split(dropout_key, cfg.depth)
 
         def body(h, xs):
@@ -129,7 +170,10 @@ def dit_forward_precomputed(
 
         x, _ = jax.lax.scan(body, x, params["blocks"])
 
-    x = B.adaln_zero_final(params["norm_out"], x, t)
+    x = B.adaln_zero_final(
+        params["norm_out"], x, t,
+        mod=None if time_mods is None else time_mods["final"],
+    )
     out = linear(params["proj_out"], x)
     return out.astype(jnp.float32)
 

@@ -4,6 +4,13 @@ Behavioral parity with reference: cfm.py:38-122 (Euler / midpoint / RK4,
 trajectory includes y0). The reference unrolls a Python loop over an
 `mx.compile`d step (cfm.py:392); here the whole integration is a single scan
 inside one jit region, and the trajectory is the scan's stacked outputs.
+
+Because the grid is fixed, every evaluation time of the run is known before
+the scan starts (Euler evaluates at t_i; midpoint adds t_i + dt/2; RK4 adds
+t_i + dt — its two half-step stages share one time). `schedule_fn` exploits
+this: time-only conditioning (the DiT's AdaLN modulations) is precomputed
+for the whole grid in a few batched matmuls and fed to the flow function per
+step, instead of being recomputed from scalar t inside every iteration.
 """
 
 from __future__ import annotations
@@ -13,24 +20,32 @@ from typing import Callable
 import jax
 import jax.numpy as jnp
 
-FlowFn = Callable[[jax.Array, jax.Array], jax.Array]  # (t, y) -> dy/dt
+FlowFn = Callable[..., jax.Array]  # (t, y [, sched]) -> dy/dt
+
+# evaluation-time offsets (in units of dt) per stage, and which precomputed
+# schedule slot each stage reads; RK4's k2 and k3 share the half-step time
+_STAGE_OFFSETS = {
+    "euler": (0.0,),
+    "midpoint": (0.0, 0.5),
+    "rk4": (0.0, 0.5, 1.0),
+}
 
 
-def _euler_step(func: FlowFn, y: jax.Array, t: jax.Array, dt: jax.Array) -> jax.Array:
-    return y + dt * func(t, y)
+def _euler_step(func: FlowFn, y, t, dt, sch):
+    return y + dt * func(t, y, sch[0])
 
 
-def _midpoint_step(func: FlowFn, y: jax.Array, t: jax.Array, dt: jax.Array) -> jax.Array:
-    k1 = func(t, y)
-    k2 = func(t + 0.5 * dt, y + 0.5 * dt * k1)
+def _midpoint_step(func: FlowFn, y, t, dt, sch):
+    k1 = func(t, y, sch[0])
+    k2 = func(t + 0.5 * dt, y + 0.5 * dt * k1, sch[1])
     return y + dt * k2
 
 
-def _rk4_step(func: FlowFn, y: jax.Array, t: jax.Array, dt: jax.Array) -> jax.Array:
-    k1 = func(t, y)
-    k2 = func(t + 0.5 * dt, y + 0.5 * dt * k1)
-    k3 = func(t + 0.5 * dt, y + 0.5 * dt * k2)
-    k4 = func(t + dt, y + dt * k3)
+def _rk4_step(func: FlowFn, y, t, dt, sch):
+    k1 = func(t, y, sch[0])
+    k2 = func(t + 0.5 * dt, y + 0.5 * dt * k1, sch[1])
+    k3 = func(t + 0.5 * dt, y + 0.5 * dt * k2, sch[1])
+    k4 = func(t + dt, y + dt * k3, sch[2])
     return y + (dt / 6.0) * (k1 + 2 * k2 + 2 * k3 + k4)
 
 
@@ -40,8 +55,12 @@ METHODS = tuple(_STEPPERS)
 
 
 def odeint(
-    func: FlowFn, y0: jax.Array, t: jax.Array, method: str = "rk4",
+    func: FlowFn,
+    y0: jax.Array,
+    t: jax.Array,
+    method: str = "rk4",
     return_trajectory: bool = True,
+    schedule_fn: Callable | None = None,
 ) -> jax.Array:
     """Integrate dy/dt = func(t, y) over the (static-length) time grid `t`.
 
@@ -49,17 +68,33 @@ def odeint(
     first, matching the reference solvers' stacked output (cfm.py:47-61);
     otherwise returns only the final state (no per-step HBM writes — the
     serving path never reads the trajectory).
+
+    `schedule_fn(times [m]) -> pytree with leading axis m` precomputes
+    per-evaluation-time conditioning outside the scan; func is then called as
+    func(t, y, sched_slice) with the slice for that stage's time.
     """
     if method not in _STEPPERS:
         raise ValueError(f"Unknown method: {method}; expected one of {METHODS}")
     stepper = _STEPPERS[method]
 
-    def step(y, tt):
-        t_cur, t_next = tt
-        y_next = stepper(func, y, t_cur, t_next - t_cur)
+    t_pairs = (t[:-1], t[1:])
+    n_slots = len(_STAGE_OFFSETS[method])
+    if schedule_fn is None:
+        func_s = lambda tt, y, sched: func(tt, y)
+        xs_sched = (None,) * n_slots
+    else:
+        func_s = func
+        dt = t[1:] - t[:-1]
+        xs_sched = tuple(
+            schedule_fn(t[:-1] + off * dt) for off in _STAGE_OFFSETS[method]
+        )
+
+    def step(y, xs):
+        (t_cur, t_next), sch = xs
+        y_next = stepper(func_s, y, t_cur, t_next - t_cur, sch)
         return y_next, y_next if return_trajectory else None
 
-    y_final, ys = jax.lax.scan(step, y0, (t[:-1], t[1:]))
+    y_final, ys = jax.lax.scan(step, y0, (t_pairs, xs_sched))
     if not return_trajectory:
         return y_final[None]
     return jnp.concatenate([y0[None], ys], axis=0)

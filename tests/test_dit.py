@@ -137,3 +137,28 @@ def test_grn_normalization():
     gx = np.linalg.norm(np.asarray(x), axis=1, keepdims=True)
     nx = gx / (gx.mean(axis=-1, keepdims=True) + 1e-6)
     np.testing.assert_allclose(np.asarray(out), np.asarray(x) * nx + np.asarray(x), atol=1e-5)
+
+
+def test_time_mods_schedule_matches_direct_forward():
+    """dit_forward_precomputed(time_mods=...) must equal the direct path that
+    derives the AdaLN conditioning from scalar t inside the forward — the
+    contract behind hoisting the schedule out of the ODE scan
+    (reference semantics: dit.py:73-82,259-290)."""
+    from f5_tts_tpu.models.dit import dit_forward_precomputed, dit_text_embed, dit_time_mods
+
+    cfg = DiTConfig(
+        dim=64, depth=2, heads=2, dim_head=32, ff_mult=2, mel_dim=8,
+        text_num_embeds=24, text_dim=16, conv_layers=1, use_flash_attention=False,
+    )
+    params = init_dit(jax.random.key(0), cfg)
+    x = jax.random.normal(jax.random.key(1), (2, 32, 8))
+    cond = jax.random.normal(jax.random.key(2), (2, 32, 8))
+    text = jnp.zeros((2, 32), jnp.int32)
+    te = dit_text_embed(params, cfg, text, 32)
+    times = jnp.array([0.125, 0.625])
+    mods = dit_time_mods(params, cfg, times)
+    for i, tv in enumerate(np.asarray(times)):
+        sliced = jax.tree.map(lambda a: a[i], mods)
+        got = dit_forward_precomputed(params, cfg, x, cond, te, float(tv), time_mods=sliced)
+        ref = dit_forward_precomputed(params, cfg, x, cond, te, float(tv))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)

@@ -38,3 +38,18 @@ def test_time_dependent_field():
 def test_unknown_method():
     with pytest.raises(ValueError):
         odeint(lambda t, y: y, jnp.zeros(1), jnp.linspace(0, 1, 3), "dopri5")
+
+
+def test_schedule_fn_slices_match_direct_evaluation():
+    """With schedule_fn, each stage must receive the conditioning slice for
+    its OWN evaluation time (euler: t; midpoint: +dt/2; rk4: k2/k3 share the
+    half step). Encoding the time through the schedule must reproduce the
+    plain time-dependent integration exactly."""
+    f_plain = lambda t, y: 2 * t * jnp.ones_like(y)
+    sched_fn = lambda times: {"t2": 2.0 * times}
+    f_sched = lambda t, y, sch: sch["t2"] * jnp.ones_like(y)
+    grid = jnp.linspace(0.0, 1.0, 9)
+    for method in METHODS:
+        a = odeint(f_plain, jnp.zeros((1,)), grid, method)
+        b = odeint(f_sched, jnp.zeros((1,)), grid, method, schedule_fn=sched_fn)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
