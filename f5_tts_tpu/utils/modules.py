@@ -14,6 +14,7 @@ Layout conventions (differ from torch on purpose, for MXU-friendly layouts):
 from __future__ import annotations
 
 import math
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -104,6 +105,11 @@ def conv1d_init(
     return p
 
 
+# Trace-time switch for the tap-sum grouped-conv lowering (A/B probe handle;
+# see tools/train_bench.py --no-tapsum and docs/PERFORMANCE.md).
+TAPSUM_GROUPED_CONV = True
+
+
 def conv1d(
     p: Params,
     x: jax.Array,
@@ -122,7 +128,7 @@ def conv1d(
     contraction on the MXU, accumulated in float32."""
     kernel = p["kernel"].astype(x.dtype)
     ks, in_pg, d_out = kernel.shape
-    if groups > 1 and in_pg > 1 and dilation == 1:
+    if groups > 1 and in_pg > 1 and dilation == 1 and TAPSUM_GROUPED_CONV:
         return _grouped_conv_tapsum(kernel, p.get("bias"), x, groups, padding)
     if isinstance(padding, int):
         padding = [(padding, padding)]
@@ -147,14 +153,22 @@ def _grouped_conv_tapsum(
     groups: int,
     padding: int | str,
 ) -> jax.Array:
-    ks, in_pg, d_out = kernel.shape
-    b, n, c = x.shape
-    out_pg = d_out // groups
+    ks = kernel.shape[0]
     if padding == "SAME":
         lo = (ks - 1) // 2
         hi = ks - 1 - lo
     else:
         lo = hi = int(padding)
+    y = _grouped_conv(x, kernel, groups, lo, hi)
+    if bias is not None:
+        y = y + bias.astype(x.dtype)
+    return y
+
+
+def _tapsum_impl(x, kernel, groups: int, lo: int, hi: int) -> jax.Array:
+    ks, in_pg, d_out = kernel.shape
+    b, n, c = x.shape
+    out_pg = d_out // groups
     # [g, k, in, out]: group g's output channels read only group g's inputs
     wg = jnp.transpose(kernel.reshape(ks, in_pg, groups, out_pg), (2, 0, 1, 3))
     xg = x.reshape(b, n, groups, in_pg)
@@ -168,10 +182,42 @@ def _grouped_conv_tapsum(
             wg[:, k],
             preferred_element_type=jnp.float32,
         )
-    y = y.astype(x.dtype).reshape(b, n_out, d_out)
-    if bias is not None:
-        y = y + bias.astype(x.dtype)
-    return y
+    return y.astype(x.dtype).reshape(b, n_out, d_out)
+
+
+def _xla_grouped_conv(x, kernel, groups: int, lo: int, hi: int) -> jax.Array:
+    return jax.lax.conv_general_dilated(
+        x,
+        kernel,
+        window_strides=(1,),
+        padding=[(lo, hi)],
+        dimension_numbers=("NHC", "HIO", "NHC"),
+        feature_group_count=groups,
+    )
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _grouped_conv(x, kernel, groups: int, lo: int, hi: int) -> jax.Array:
+    """Grouped conv with a split lowering: tap-sum einsums forward (2.5x the
+    XLA feature_group_count lowering on v5e, tools/fusion_probe.py), XLA conv
+    gradients backward (the unrolled tap-sum's backward costs ~27 ms/step on
+    the base train step, tools/train_bench.py --no-tapsum A/B). The op is
+    bilinear, so the backward's jax.vjp needs no primal value and XLA DCEs
+    the redundant forward conv."""
+    return _tapsum_impl(x, kernel, groups, lo, hi)
+
+
+def _grouped_conv_fwd(x, kernel, groups: int, lo: int, hi: int):
+    return _tapsum_impl(x, kernel, groups, lo, hi), (x, kernel)
+
+
+def _grouped_conv_bwd(groups: int, lo: int, hi: int, res, g):
+    x, kernel = res
+    _, vjp = jax.vjp(lambda x_, k_: _xla_grouped_conv(x_, k_, groups, lo, hi), x, kernel)
+    return vjp(g.astype(x.dtype))
+
+
+_grouped_conv.defvjp(_grouped_conv_fwd, _grouped_conv_bwd)
 
 
 # ---------------------------------------------------------------- activations
