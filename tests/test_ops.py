@@ -74,3 +74,36 @@ def test_compilation_cache_config(tmp_path):
 
     enable_compilation_cache(str(tmp_path / "cache"))
     assert (tmp_path / "cache").exists()
+
+
+def test_grouped_conv_split_lowering_grads_match_xla():
+    """The k31/g16 conv position embedding uses a tap-sum forward with
+    XLA-conv-derived gradients (custom_vjp; utils/modules.py:_grouped_conv).
+    Forward AND all gradients must match the plain XLA feature_group_count
+    lowering (reference semantics: dit.py:29-50)."""
+    import f5_tts_tpu.utils.modules as m
+
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal((2, 33, 64)), jnp.float32)
+    p = {
+        "kernel": jnp.asarray(rng.standard_normal((31, 8, 64)) * 0.05, jnp.float32),
+        "bias": jnp.asarray(rng.standard_normal((64,)) * 0.05, jnp.float32),
+    }
+
+    def loss(p, x):
+        return (m.conv1d(p, x, groups=8) ** 2).sum()
+
+    y_tap = m.conv1d(p, x, groups=8)
+    g_tap = jax.grad(loss, argnums=(0, 1))(p, x)
+    assert m.TAPSUM_GROUPED_CONV
+    m.TAPSUM_GROUPED_CONV = False
+    try:
+        y_xla = m.conv1d(p, x, groups=8)
+        g_xla = jax.grad(loss, argnums=(0, 1))(p, x)
+    finally:
+        m.TAPSUM_GROUPED_CONV = True
+
+    np.testing.assert_allclose(y_tap, y_xla, atol=1e-5)
+    np.testing.assert_allclose(g_tap[0]["kernel"], g_xla[0]["kernel"], atol=1e-4)
+    np.testing.assert_allclose(g_tap[0]["bias"], g_xla[0]["bias"], atol=1e-4)
+    np.testing.assert_allclose(g_tap[1], g_xla[1], atol=1e-4)
