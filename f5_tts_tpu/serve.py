@@ -17,6 +17,12 @@ API:
         {"text": "...", "ref_text": "...", "ref_audio_b64": <optional wav>,
          "duration": <optional seconds>, "steps": 8, "method": "rk4",
          "cfg_strength": 2.0, "sway_sampling_coef": -1.0, "seed": null}
+  POST /synthesize_stream (JSON, same payload minus "duration")
+        -> chunked audio/wav: the text is split into sentences (same splitter
+        as the CLI, generate.py:split_sentences), all sentences are submitted
+        to the micro-batcher at once (so compatible ones still batch), and
+        each sentence's PCM streams out the moment it is ready — first audio
+        after one sentence's synthesis instead of the whole request's.
 """
 
 from __future__ import annotations
@@ -35,7 +41,15 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import numpy as np
 
-from f5_tts_tpu.generate import DEFAULT_REF_TEXT, FRAMES_PER_SEC, SAMPLE_RATE, TARGET_RMS, _load_ref_audio, estimated_duration
+from f5_tts_tpu.generate import (
+    DEFAULT_REF_TEXT,
+    FRAMES_PER_SEC,
+    SAMPLE_RATE,
+    TARGET_RMS,
+    _load_ref_audio,
+    estimated_duration,
+    split_sentences,
+)
 from f5_tts_tpu.utils.tokenizer import convert_char_to_pinyin
 
 
@@ -50,6 +64,12 @@ class _Request:
     cfg_strength: float
     sway: float
     seed: int | None
+    # Streaming latency hint: 0 = "the client is waiting on THIS audio right
+    # now" (normal requests, a stream's first sentence), 1 = backfill (a
+    # stream's later sentences). Rank partitions groups — otherwise a stream's
+    # tail sentences batch WITH its head and time-to-first-audio collapses to
+    # whole-request latency — and rank-0 groups always dispatch first.
+    stream_rank: int = 0
     future: Future = field(default_factory=Future)
 
     def group_key(self, bucket: int) -> tuple:
@@ -57,7 +77,7 @@ class _Request:
         # _run_group), so only sampler settings + duration bucket partition
         dur_bucket = math.ceil(max(self.duration_frames, 1) / bucket)
         return (self.steps, self.method, self.cfg_strength, self.sway, self.seed,
-                dur_bucket)
+                dur_bucket, self.stream_rank)
 
 
 class MicroBatcher(threading.Thread):
@@ -102,12 +122,15 @@ class MicroBatcher(threading.Thread):
             groups: dict[tuple, list[_Request]] = {}
             for r in batch:
                 groups.setdefault(r.group_key(bucket), []).append(r)
-            # Shortest-job-first across groups: a long big-bucket group must
-            # not head-of-line-block small requests gathered in the same poll.
-            # (Groups still run one at a time — the chip serializes anyway,
-            # and this backend requires a single in-flight computation.)
+            # Rank first (someone is waiting on rank-0 audio NOW; rank-1 is a
+            # stream's backfill), then shortest-job-first: a long big-bucket
+            # group must not head-of-line-block small requests gathered in the
+            # same poll. (Groups still run one at a time — the chip serializes
+            # anyway, and this backend requires a single in-flight
+            # computation.)
             for key, group in sorted(
-                groups.items(), key=lambda kv: kv[0][5] * kv[0][0] * len(kv[1])
+                groups.items(),
+                key=lambda kv: (kv[0][6], kv[0][5] * kv[0][0] * len(kv[1])),
             ):
                 self._run_group(group)
 
@@ -187,8 +210,31 @@ def _wav_bytes(samples: np.ndarray, sample_rate: int) -> bytes:
     return buf.getvalue()
 
 
+def _pcm16(samples: np.ndarray) -> bytes:
+    return (np.clip(samples, -1, 1) * 32767.0).astype("<i2").tobytes()
+
+
+def _wav_stream_header(sample_rate: int) -> bytes:
+    """A 44-byte PCM16 mono WAV header with unknown (0xFFFFFFFF) sizes — the
+    standard convention for live WAV streams; players read until EOF."""
+    import struct
+
+    return b"".join(
+        [
+            b"RIFF", struct.pack("<I", 0xFFFFFFFF), b"WAVE",
+            b"fmt ", struct.pack("<IHHIIHH", 16, 1, 1, sample_rate,
+                                 sample_rate * 2, 2, 16),
+            b"data", struct.pack("<I", 0xFFFFFFFF),
+        ]
+    )
+
+
 def make_handler(batcher: MicroBatcher, default_ref: tuple[np.ndarray, str]):
     class Handler(BaseHTTPRequestHandler):
+        # HTTP/1.1 so /synthesize_stream may use chunked transfer encoding;
+        # every non-stream response carries an explicit Content-Length.
+        protocol_version = "HTTP/1.1"
+
         def log_message(self, fmt, *args):  # quiet
             pass
 
@@ -211,44 +257,82 @@ def make_handler(batcher: MicroBatcher, default_ref: tuple[np.ndarray, str]):
             else:
                 self._json_error(404, "not found")
 
-        def do_POST(self):
-            if self.path != "/synthesize":
-                return self._json_error(404, "not found")
+        def _read_payload(self):
             try:
                 length = int(self.headers.get("Content-Length", 0))
-                payload = json.loads(self.rfile.read(length) or b"{}")
+                return json.loads(self.rfile.read(length) or b"{}")
             except (ValueError, json.JSONDecodeError):
-                return self._json_error(400, "invalid JSON body")
+                self._json_error(400, "invalid JSON body")
+                return None
 
+        def _resolve_ref(self, payload):
+            """Returns (ref_audio, ref_text) RMS-normalized, or None after
+            having sent an error response."""
+            if "ref_audio_b64" in payload:
+                from f5_tts_tpu.audio.io import read_wav
+
+                raw = base64.b64decode(payload["ref_audio_b64"])
+                import tempfile
+
+                with tempfile.NamedTemporaryFile(suffix=".wav") as f:
+                    f.write(raw)
+                    f.flush()
+                    ref_audio, sr = read_wav(f.name)
+                if sr != SAMPLE_RATE:
+                    self._json_error(400, "reference audio must be 24kHz")
+                    return None
+                if ref_audio.ndim > 1:
+                    ref_audio = ref_audio.mean(axis=-1)
+                ref_text = payload.get("ref_text")
+                if not ref_text:
+                    self._json_error(400, "ref_text required with ref_audio_b64")
+                    return None
+            else:
+                ref_audio, ref_text = default_ref
+                ref_text = payload.get("ref_text", ref_text)
+
+            rms = float(np.sqrt(np.mean(np.square(ref_audio))))
+            if 0 < rms < TARGET_RMS:
+                ref_audio = ref_audio * TARGET_RMS / rms
+            return ref_audio.astype(np.float32), ref_text
+
+        def _build_request(self, payload, text, ref_audio, ref_text, dur_frames):
+            req = _Request(
+                text=text,
+                ref_audio=ref_audio,
+                ref_text=ref_text,
+                duration_frames=dur_frames,
+                steps=int(payload.get("steps", 8)),
+                method=str(payload.get("method", "rk4")),
+                cfg_strength=float(payload.get("cfg_strength", 2.0)),
+                sway=float(payload.get("sway_sampling_coef", -1.0)),
+                seed=payload.get("seed"),
+            )
+            if req.method not in ("euler", "midpoint", "rk4"):
+                self._json_error(400, f"unknown method: {req.method}")
+                return None
+            return req
+
+        def do_POST(self):
+            if self.path == "/synthesize":
+                return self._synthesize()
+            if self.path == "/synthesize_stream":
+                return self._synthesize_stream()
+            return self._json_error(404, "not found")
+
+        def _synthesize(self):
+            payload = self._read_payload()
+            if payload is None:
+                return
             text = payload.get("text")
             if not text or not isinstance(text, str):
                 return self._json_error(400, "missing required field: text")
 
             try:
-                if "ref_audio_b64" in payload:
-                    from f5_tts_tpu.audio.io import read_wav
-
-                    raw = base64.b64decode(payload["ref_audio_b64"])
-                    import tempfile
-
-                    with tempfile.NamedTemporaryFile(suffix=".wav") as f:
-                        f.write(raw)
-                        f.flush()
-                        ref_audio, sr = read_wav(f.name)
-                    if sr != SAMPLE_RATE:
-                        return self._json_error(400, "reference audio must be 24kHz")
-                    if ref_audio.ndim > 1:
-                        ref_audio = ref_audio.mean(axis=-1)
-                    ref_text = payload.get("ref_text")
-                    if not ref_text:
-                        return self._json_error(400, "ref_text required with ref_audio_b64")
-                else:
-                    ref_audio, ref_text = default_ref
-                    ref_text = payload.get("ref_text", ref_text)
-
-                rms = float(np.sqrt(np.mean(np.square(ref_audio))))
-                if 0 < rms < TARGET_RMS:
-                    ref_audio = ref_audio * TARGET_RMS / rms
+                ref = self._resolve_ref(payload)
+                if ref is None:
+                    return
+                ref_audio, ref_text = ref
 
                 if payload.get("duration") is not None:
                     dur_frames = int(float(payload["duration"]) * FRAMES_PER_SEC)
@@ -258,19 +342,9 @@ def make_handler(batcher: MicroBatcher, default_ref: tuple[np.ndarray, str]):
                                            float(payload.get("speed", 1.0))) * FRAMES_PER_SEC
                     )
 
-                req = _Request(
-                    text=text,
-                    ref_audio=ref_audio.astype(np.float32),
-                    ref_text=ref_text,
-                    duration_frames=dur_frames,
-                    steps=int(payload.get("steps", 8)),
-                    method=str(payload.get("method", "rk4")),
-                    cfg_strength=float(payload.get("cfg_strength", 2.0)),
-                    sway=float(payload.get("sway_sampling_coef", -1.0)),
-                    seed=payload.get("seed"),
-                )
-                if req.method not in ("euler", "midpoint", "rk4"):
-                    return self._json_error(400, f"unknown method: {req.method}")
+                req = self._build_request(payload, text, ref_audio, ref_text, dur_frames)
+                if req is None:
+                    return
 
                 samples = batcher.submit(req).result(timeout=600)
                 body = _wav_bytes(samples, SAMPLE_RATE)
@@ -281,6 +355,65 @@ def make_handler(batcher: MicroBatcher, default_ref: tuple[np.ndarray, str]):
                 self.wfile.write(body)
             except Exception as e:
                 self._json_error(500, f"synthesis failed: {e}")
+
+        def _write_chunk(self, data: bytes) -> None:
+            self.wfile.write(f"{len(data):X}\r\n".encode())
+            self.wfile.write(data)
+            self.wfile.write(b"\r\n")
+
+        def _synthesize_stream(self):
+            payload = self._read_payload()
+            if payload is None:
+                return
+            text = payload.get("text")
+            if not text or not isinstance(text, str):
+                return self._json_error(400, "missing required field: text")
+            if payload.get("duration") is not None:
+                return self._json_error(
+                    400, "duration is per-request; unsupported with streaming "
+                    "(durations are estimated per sentence)")
+
+            try:
+                ref = self._resolve_ref(payload)
+                if ref is None:
+                    return
+                ref_audio, ref_text = ref
+                speed = float(payload.get("speed", 1.0))
+
+                sentences = split_sentences(text) or [text]
+                reqs = []
+                for i, s in enumerate(sentences):
+                    dur = int(estimated_duration(ref_audio, ref_text, s, speed)
+                              * FRAMES_PER_SEC)
+                    req = self._build_request(payload, s, ref_audio, ref_text, dur)
+                    if req is None:
+                        return
+                    # first sentence dispatches alone (and ahead of any
+                    # backfill): time-to-first-audio = ONE sentence's latency
+                    req.stream_rank = 0 if i == 0 else 1
+                    reqs.append(req)
+
+                # submit ALL sentences before streaming: compatible ones land
+                # in the same micro-batch groups (length-grouped), while the
+                # client hears sentence 0 as soon as its group finishes
+                futures = [batcher.submit(r) for r in reqs]
+            except Exception as e:
+                return self._json_error(500, f"synthesis failed: {e}")
+
+            self.send_response(200)
+            self.send_header("Content-Type", "audio/wav")
+            self.send_header("Transfer-Encoding", "chunked")
+            self.end_headers()
+            self._write_chunk(_wav_stream_header(SAMPLE_RATE))
+            try:
+                for fut in futures:
+                    self._write_chunk(_pcm16(fut.result(timeout=600)))
+            except Exception:
+                # status line is already out — truncate the stream so the
+                # client sees a hard error rather than silent-complete audio
+                self.close_connection = True
+                return
+            self.wfile.write(b"0\r\n\r\n")
 
     return Handler
 

@@ -114,3 +114,61 @@ def test_unknown_route(server):
     with pytest.raises(urllib.error.HTTPError) as e:
         urllib.request.urlopen(server + "/nope", timeout=30)
     assert e.value.code == 404
+
+
+def test_synthesize_stream_chunks(server):
+    """/synthesize_stream sends a WAV stream header then one PCM chunk per
+    sentence over chunked transfer encoding (raw-socket read so the chunk
+    boundaries themselves are observable)."""
+    import socket
+    from urllib.parse import urlparse
+
+    u = urlparse(server)
+    payload = json.dumps({
+        "text": "first sentence here. and then a second one. finally a third!",
+        "steps": 2, "method": "euler", "seed": 0,
+    }).encode()
+    req = (
+        f"POST /synthesize_stream HTTP/1.1\r\nHost: {u.hostname}\r\n"
+        f"Content-Type: application/json\r\nContent-Length: {len(payload)}\r\n"
+        f"Connection: close\r\n\r\n"
+    ).encode() + payload
+
+    with socket.create_connection((u.hostname, u.port), timeout=300) as s:
+        s.settimeout(300)
+        s.sendall(req)
+        raw = b""
+        while True:
+            b = s.recv(65536)
+            if not b:
+                break
+            raw += b
+
+    head, _, body = raw.partition(b"\r\n\r\n")
+    assert b"200" in head.split(b"\r\n")[0]
+    assert b"Transfer-Encoding: chunked" in head
+
+    chunks = []
+    while body:
+        size_hex, _, rest = body.partition(b"\r\n")
+        size = int(size_hex, 16)
+        if size == 0:
+            break
+        chunks.append(rest[:size])
+        body = rest[size + 2:]
+    # WAV stream header + one PCM chunk per sentence
+    assert len(chunks) == 4
+    assert chunks[0][:4] == b"RIFF" and len(chunks[0]) == 44
+    assert all(len(c) > 1000 and len(c) % 2 == 0 for c in chunks[1:])
+
+
+def test_synthesize_stream_rejects_duration(server):
+    req = urllib.request.Request(
+        server + "/synthesize_stream",
+        data=json.dumps({"text": "hello there", "duration": 5.0}).encode(),
+        headers={"Content-Type": "application/json"},
+        method="POST",
+    )
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req, timeout=30)
+    assert e.value.code == 400
