@@ -74,7 +74,8 @@ class _Request:
 
     def group_key(self, bucket: int) -> tuple:
         # ref length doesn't key compiles (mel runs on a fixed-size window in
-        # _run_group), so only sampler settings + duration bucket partition
+        # _run_group), so sampler settings + duration bucket + stream rank
+        # partition
         dur_bucket = math.ceil(max(self.duration_frames, 1) / bucket)
         return (self.steps, self.method, self.cfg_strength, self.sway, self.seed,
                 dur_bucket, self.stream_rank)
@@ -199,19 +200,18 @@ class MicroBatcher(threading.Thread):
                     r.future.set_exception(e)
 
 
+def _pcm16(samples: np.ndarray) -> bytes:
+    return (np.clip(samples, -1, 1) * 32767.0).astype("<i2").tobytes()
+
+
 def _wav_bytes(samples: np.ndarray, sample_rate: int) -> bytes:
-    pcm = (np.clip(samples, -1, 1) * 32767.0).astype("<i2")
     buf = io.BytesIO()
     with wave_mod.open(buf, "wb") as w:
         w.setnchannels(1)
         w.setsampwidth(2)
         w.setframerate(sample_rate)
-        w.writeframes(pcm.tobytes())
+        w.writeframes(_pcm16(samples))
     return buf.getvalue()
-
-
-def _pcm16(samples: np.ndarray) -> bytes:
-    return (np.clip(samples, -1, 1) * 32767.0).astype("<i2").tobytes()
 
 
 def _wav_stream_header(sample_rate: int) -> bytes:
@@ -245,6 +245,10 @@ def make_handler(batcher: MicroBatcher, default_ref: tuple[np.ndarray, str]):
             self.send_header("Content-Length", str(len(body)))
             self.end_headers()
             self.wfile.write(body)
+            # under HTTP/1.1 keep-alive, an error path may not have drained
+            # the request body; closing prevents the leftover bytes from
+            # being parsed as the connection's next request
+            self.close_connection = True
 
         def do_GET(self):
             if self.path == "/healthz":
@@ -407,7 +411,12 @@ def make_handler(batcher: MicroBatcher, default_ref: tuple[np.ndarray, str]):
             self._write_chunk(_wav_stream_header(SAMPLE_RATE))
             try:
                 for fut in futures:
-                    self._write_chunk(_pcm16(fut.result(timeout=600)))
+                    pcm = _pcm16(fut.result(timeout=600))
+                    # a zero-length chunk IS the chunked-encoding terminator —
+                    # never emit one mid-stream (possible when a sentence's
+                    # clamped duration leaves no generated frames)
+                    if pcm:
+                        self._write_chunk(pcm)
             except Exception:
                 # status line is already out — truncate the stream so the
                 # client sees a hard error rather than silent-complete audio
