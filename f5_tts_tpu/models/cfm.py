@@ -460,9 +460,20 @@ class F5TTS:
 
     # -- duration ----------------------------------------------------------
 
-    def predict_duration(self, cond: jax.Array, text: jax.Array, speed: float = 1.0) -> jax.Array:
-        """Predicted duration in frames (reference: cfm.py:253-262)."""
-        duration_in_sec = self._duration_predictor(cond, text)
+    def predict_duration(
+        self,
+        cond: jax.Array,
+        text: jax.Array,
+        speed: float = 1.0,
+        *,
+        lens: jax.Array | None = None,
+    ) -> jax.Array:
+        """Predicted duration in frames (reference: cfm.py:253-262).
+
+        `lens` masks per-item reference length when `cond` is padded to a
+        fixed window (the serving path; the reference API has no equivalent
+        because it never batches mixed-length references)."""
+        duration_in_sec = self._duration_predictor(cond, text, lens=lens)
         frame_rate = self.audio_cfg.sample_rate // self.audio_cfg.hop_length
         return (np.asarray(duration_in_sec) * frame_rate / speed).astype(np.int32)
 

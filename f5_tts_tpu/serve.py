@@ -16,7 +16,13 @@ API:
   POST /synthesize  (JSON)     -> audio/wav bytes
         {"text": "...", "ref_text": "...", "ref_audio_b64": <optional wav>,
          "duration": <optional seconds>, "steps": 8, "method": "rk4",
-         "cfg_strength": 2.0, "sway_sampling_coef": -1.0, "seed": null}
+         "cfg_strength": 2.0, "sway_sampling_coef": -1.0, "seed": null,
+         "speed": 1.0, "estimate_duration": false}
+        Duration resolution mirrors the CLI (generate.py): explicit
+        "duration" wins; "estimate_duration": true forces the byte-length
+        heuristic; otherwise the model's trained duration predictor runs as
+        one batched forward in the batcher thread (heuristic fallback when
+        the model was loaded without one).
   POST /synthesize_stream (JSON, same payload minus "duration")
         -> chunked audio/wav: the text is split into sentences (same splitter
         as the CLI, generate.py:split_sentences), all sentences are submitted
@@ -58,7 +64,10 @@ class _Request:
     text: str
     ref_audio: np.ndarray
     ref_text: str
-    duration_frames: int
+    # None = resolve with the model's trained duration predictor inside the
+    # batcher thread (the single thread allowed to touch the device) before
+    # grouping; an int is frames, already final.
+    duration_frames: int | None
     steps: int
     method: str
     cfg_strength: float
@@ -70,6 +79,7 @@ class _Request:
     # tail sentences batch WITH its head and time-to-first-audio collapses to
     # whole-request latency — and rank-0 groups always dispatch first.
     stream_rank: int = 0
+    speed: float = 1.0
     future: Future = field(default_factory=Future)
 
     def group_key(self, bucket: int) -> tuple:
@@ -119,6 +129,16 @@ class MicroBatcher(threading.Thread):
                 except queue.Empty:
                     break
 
+            need_prediction = [r for r in batch if r.duration_frames is None]
+            if need_prediction:
+                try:
+                    self._predict_durations(need_prediction)
+                except Exception as e:
+                    for r in need_prediction:
+                        if not r.future.done():
+                            r.future.set_exception(e)
+                    batch = [r for r in batch if r.duration_frames is not None]
+
             bucket = self.model.cfm_cfg.duration_bucket
             groups: dict[tuple, list[_Request]] = {}
             for r in batch:
@@ -135,21 +155,71 @@ class MicroBatcher(threading.Thread):
             ):
                 self._run_group(group)
 
+    def _ref_lens(self, reqs: list[_Request]) -> np.ndarray:
+        hop = self.model.audio_cfg.hop_length
+        max_duration = self.model.cfm_cfg.max_duration
+        return np.array(
+            [min(r.ref_audio.shape[0] // hop, max_duration) for r in reqs],
+            dtype=np.int32,
+        )
+
+    def _padded_refs(self, reqs: list[_Request]) -> np.ndarray:
+        """References padded into ONE fixed-size window: the mel jit is keyed
+        on raw audio length, so variable-length refs would each pay a fresh
+        compile."""
+        pad_samples = self.model.cfm_cfg.max_duration * self.model.audio_cfg.hop_length
+        audio = np.zeros((len(reqs), pad_samples), dtype=np.float32)
+        for i, r in enumerate(reqs):
+            n = min(r.ref_audio.shape[0], pad_samples)
+            audio[i, :n] = r.ref_audio[:n]
+        return audio
+
+    def _tokenize(self, reqs: list[_Request]) -> np.ndarray:
+        texts = convert_char_to_pinyin([r.ref_text + " " + r.text for r in reqs])
+        return self.model._tokenize(texts)
+
+    def _predict_durations(self, reqs: list[_Request]) -> None:
+        """Resolve duration_frames with the trained duration predictor (one
+        batched forward; reference semantics: cfm.py:253-262 + generate.py's
+        predictor-by-default behavior). Runs in the batcher thread — the only
+        thread allowed to drive the device."""
+        import jax.numpy as jnp
+
+        if self.model._duration_predictor is None:
+            # loader configured without a predictor: fall back to the CLI's
+            # byte-length heuristic rather than failing the request
+            for r in reqs:
+                r.duration_frames = int(
+                    estimated_duration(r.ref_audio, r.ref_text, r.text, r.speed)
+                    * FRAMES_PER_SEC
+                )
+            return
+
+        bucket = self.model.cfm_cfg.duration_bucket
+        max_duration = self.model.cfm_cfg.max_duration
+        lens = self._ref_lens(reqs)
+        window = min(max(bucket, -(-int(lens.max()) // bucket) * bucket), max_duration)
+        cond_mel = self.model._mel_spec(jnp.asarray(self._padded_refs(reqs)))[:, :window]
+        text_ids = self._tokenize(reqs)
+        # pad text to a multiple so compiles stay bounded (−1 = padding id)
+        nt = text_ids.shape[1]
+        text_ids = np.pad(text_ids, ((0, 0), (0, -nt % 64)), constant_values=-1)
+        frames = self.model.predict_duration(
+            cond_mel, jnp.asarray(text_ids), lens=jnp.asarray(lens)
+        )
+        for r, f in zip(reqs, np.asarray(frames)):
+            r.duration_frames = max(int(f / r.speed), 1)
+
     def _run_group(self, group: list[_Request]) -> None:
         import jax.numpy as jnp
 
         try:
-            b = len(group)
             max_duration = self.model.cfm_cfg.max_duration
             bucket = self.model.cfm_cfg.duration_bucket
             hop = self.model.audio_cfg.hop_length
 
-            lens = np.array(
-                [min(r.ref_audio.shape[0] // hop, max_duration) for r in group],
-                dtype=np.int32,
-            )
-            texts = convert_char_to_pinyin([r.ref_text + " " + r.text for r in group])
-            text_ids = self.model._tokenize(texts)
+            lens = self._ref_lens(group)
+            text_ids = self._tokenize(group)
             durations = np.array([r.duration_frames for r in group], dtype=np.int32)
             # the same clamp sample() applies, so per-item trimming stays
             # aligned with what was actually generated
@@ -158,19 +228,12 @@ class MicroBatcher(threading.Thread):
             text_lens = (text_ids != -1).sum(axis=-1).astype(np.int32)
             durations = clamp_duration(durations, lens, text_lens, max_duration)
 
-            # ONE mel compile per batch size: the mel jit is keyed on the raw
-            # audio length, so variable-length refs would each pay a fresh
-            # compile; pad every ref to the max_duration window and trim the
-            # mel to the duration bucket sample() will use anyway
-            pad_samples = max_duration * hop
-            audio = np.zeros((b, pad_samples), dtype=np.float32)
-            for i, r in enumerate(group):
-                n = min(r.ref_audio.shape[0], pad_samples)
-                audio[i, :n] = r.ref_audio[:n]
+            # trim the fixed-window mel to the duration bucket sample() will
+            # use anyway
             padded_est = min(
                 max(bucket, -(-int(durations.max()) // bucket) * bucket), max_duration
             )
-            cond_mel = self.model._mel_spec(jnp.asarray(audio))[:, :padded_est]
+            cond_mel = self.model._mel_spec(jnp.asarray(self._padded_refs(group)))[:, :padded_est]
 
             r0 = group[0]
             wave, _ = self.model.sample(
@@ -311,11 +374,25 @@ def make_handler(batcher: MicroBatcher, default_ref: tuple[np.ndarray, str]):
                 cfg_strength=float(payload.get("cfg_strength", 2.0)),
                 sway=float(payload.get("sway_sampling_coef", -1.0)),
                 seed=payload.get("seed"),
+                speed=float(payload.get("speed", 1.0)),
             )
             if req.method not in ("euler", "midpoint", "rk4"):
                 self._json_error(400, f"unknown method: {req.method}")
                 return None
             return req
+
+        def _resolve_duration(self, payload, text, ref_audio, ref_text):
+            """Frames, or None to defer to the trained duration predictor in
+            the batcher thread (mirrors the CLI: explicit duration >
+            --estimate-duration heuristic > predictor, generate.py)."""
+            if payload.get("duration") is not None:
+                return int(float(payload["duration"]) * FRAMES_PER_SEC)
+            if payload.get("estimate_duration"):
+                return int(
+                    estimated_duration(ref_audio, ref_text, text,
+                                       float(payload.get("speed", 1.0))) * FRAMES_PER_SEC
+                )
+            return None
 
         def do_POST(self):
             if self.path == "/synthesize":
@@ -337,15 +414,7 @@ def make_handler(batcher: MicroBatcher, default_ref: tuple[np.ndarray, str]):
                 if ref is None:
                     return
                 ref_audio, ref_text = ref
-
-                if payload.get("duration") is not None:
-                    dur_frames = int(float(payload["duration"]) * FRAMES_PER_SEC)
-                else:
-                    dur_frames = int(
-                        estimated_duration(ref_audio, ref_text, text,
-                                           float(payload.get("speed", 1.0))) * FRAMES_PER_SEC
-                    )
-
+                dur_frames = self._resolve_duration(payload, text, ref_audio, ref_text)
                 req = self._build_request(payload, text, ref_audio, ref_text, dur_frames)
                 if req is None:
                     return
@@ -375,20 +444,17 @@ def make_handler(batcher: MicroBatcher, default_ref: tuple[np.ndarray, str]):
             if payload.get("duration") is not None:
                 return self._json_error(
                     400, "duration is per-request; unsupported with streaming "
-                    "(durations are estimated per sentence)")
+                    "(durations are resolved per sentence)")
 
             try:
                 ref = self._resolve_ref(payload)
                 if ref is None:
                     return
                 ref_audio, ref_text = ref
-                speed = float(payload.get("speed", 1.0))
-
                 sentences = split_sentences(text) or [text]
                 reqs = []
                 for i, s in enumerate(sentences):
-                    dur = int(estimated_duration(ref_audio, ref_text, s, speed)
-                              * FRAMES_PER_SEC)
+                    dur = self._resolve_duration(payload, s, ref_audio, ref_text)
                     req = self._build_request(payload, s, ref_audio, ref_text, dur)
                     if req is None:
                         return
