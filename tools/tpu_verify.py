@@ -1,0 +1,112 @@
+"""TPU acceptance drive: numerics of the custom compute paths ON THE REAL
+CHIP, against their XLA fallbacks.
+
+The test suite runs on CPU (Pallas in interpret mode), so a TPU-specific
+kernel bug — a tiling assumption, a layout mismatch, an MXU accumulation
+issue — would pass every test and only surface as bad audio. This drive
+compares, on the actual device, in the actual serving dtype (bf16):
+
+  1. full DiT forward: Pallas flash attention (fused RoPE) vs jnp fallback
+  2. grouped-conv tap-sum lowering vs XLA feature_group_count
+  3. int8/int4 weight-only sampling vs the float path (coarse: quantization
+     itself changes values; this checks "same audio, small distortion",
+     catching kernel/packing bugs rather than quantization noise)
+
+Run alone on the chip:  python tools/tpu_verify.py
+Exit code 0 iff every check passes its tolerance.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+FAILURES: list[str] = []
+
+
+def check(name: str, value: float, tol: float) -> None:
+    ok = bool(value < tol)
+    print(f"{'PASS' if ok else 'FAIL'}  {name}: {value:.3e} (tol {tol:.0e})")
+    if not ok:
+        FAILURES.append(name)
+
+
+def main() -> None:
+    from f5_tts_tpu.config import CFMConfig, DiTConfig, F5TTS_V1_BASE
+    from f5_tts_tpu.models.cfm import F5TTS
+    from f5_tts_tpu.models.dit import dit_forward, init_dit
+    import f5_tts_tpu.utils.modules as modules
+
+    rng = np.random.default_rng(0)
+
+    # -- 1. flash attention vs fallback, full base-config forward ---------
+    cfg = F5TTS_V1_BASE.replace(compute_dtype="bfloat16")
+    params = init_dit(jax.random.key(0), cfg)
+    b, n = 2, 1024
+    x = jnp.asarray(rng.standard_normal((b, n, cfg.mel_dim)), jnp.float32)
+    cond = jnp.asarray(rng.standard_normal((b, n, cfg.mel_dim)), jnp.float32)
+    text = jnp.asarray(rng.integers(0, cfg.text_num_embeds, (b, 64)), jnp.int32)
+    t = jnp.asarray([0.4, 0.7], jnp.float32)
+    mask = jnp.arange(n)[None, :] < jnp.asarray([[n], [n - 200]])
+
+    def fwd(flash: bool):
+        c = cfg.replace(use_flash_attention=flash)
+        return jax.jit(lambda p, x: dit_forward(p, c, x, cond, text, t, mask=mask))(params, x)
+
+    y_flash = np.asarray(fwd(True), np.float32)
+    y_ref = np.asarray(fwd(False), np.float32)
+    scale = float(np.abs(y_ref).mean())
+    check("dit_forward flash-vs-fallback rel-MAE (bf16)",
+          float(np.abs(y_flash - y_ref).mean()) / scale, 2e-2)
+
+    # -- 2. grouped conv lowerings on device ------------------------------
+    xc = jnp.asarray(rng.standard_normal((2, 1024, 1024)), jnp.bfloat16)
+    pc = {"kernel": jnp.asarray(rng.standard_normal((31, 64, 1024)) * 0.05, jnp.float32),
+          "bias": jnp.asarray(rng.standard_normal((1024,)) * 0.05, jnp.float32)}
+    y_tap = np.asarray(jax.jit(lambda p, x: modules.conv1d(p, x, groups=16))(pc, xc), np.float32)
+    modules.TAPSUM_GROUPED_CONV = False
+    try:
+        y_xla = np.asarray(jax.jit(lambda p, x: modules.conv1d(p, x, groups=16))(pc, xc),
+                           np.float32)
+    finally:
+        modules.TAPSUM_GROUPED_CONV = True
+    scale = float(np.abs(y_xla).mean())
+    check("grouped conv tap-sum vs XLA rel-MAE (bf16)",
+          float(np.abs(y_tap - y_xla).mean()) / scale, 2e-2)
+
+    # -- 3. quantized sampling vs float ------------------------------------
+    from f5_tts_tpu.models.quant import quantize_tree
+
+    small = DiTConfig(dim=256, depth=4, heads=4, dim_head=64, ff_mult=2,
+                      text_dim=128, conv_layers=1, compute_dtype="bfloat16")
+    base_params = init_dit(jax.random.key(1), small)
+    ref_wave = jnp.asarray(0.1 * np.sin(2 * np.pi * 220 * np.arange(24_000) / 24_000),
+                           jnp.float32)
+
+    def sample_with(p):
+        m = F5TTS(p, small, cfm_cfg=CFMConfig())
+        out, _ = m.sample(ref_wave[None, :], ["tpu acceptance drive"], duration=256,
+                          steps=4, method="euler", seed=0, return_trajectory=False)
+        return np.asarray(out, np.float32)
+
+    mel_f = sample_with(base_params)
+    for bits in (8, 4):
+        mel_q = sample_with(quantize_tree(base_params, bits=bits))
+        scale = float(np.abs(mel_f).mean())
+        # quantization distortion dominates; the bound only catches
+        # packing/kernel breakage (which produces O(1) relative error)
+        check(f"int{bits} sampling vs float rel-MAE",
+              float(np.abs(mel_q - mel_f).mean()) / scale, 0.5 if bits == 4 else 0.25)
+
+    print("ALL PASS" if not FAILURES else f"FAILED: {FAILURES}")
+    sys.exit(1 if FAILURES else 0)
+
+
+if __name__ == "__main__":
+    main()
