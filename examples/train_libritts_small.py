@@ -50,6 +50,9 @@ batched_dataset = make_training_pipeline(
     shuffle_buffer=500,
     num_threads=6,
     pad_frame_multiple=256,
+    # raw-audio batches: the mel front-end runs inside the jitted train step
+    # on the accelerator, keeping the host pipeline pure IO (decode-bound)
+    on_device_mel=True,
 )
 
 trainer = F5TTSTrainer(
@@ -69,4 +72,5 @@ trainer.train(
     sample_reference_text="Some call me nature, others call me mother nature.",
     sample_generation_duration=3.5,
     sample_generation_text="The quick brown fox jumped over the lazy dog.",
+    on_device_mel=True,
 )

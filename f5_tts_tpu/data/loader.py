@@ -231,16 +231,32 @@ def collate_audio_batch(
     length, frames padded to a multiple of 256 so jit sees few shapes.
     """
     mel_lens = np.array([s["audio"].shape[0] // HOP_LENGTH for s in samples], dtype=np.int32)
-    max_samples = int(mel_lens.max()) * HOP_LENGTH
+    # pad the raw audio to the frame-bucket boundary BEFORE the mel, so the
+    # mel jit compiles once per bucket instead of once per batch (a fresh
+    # max-length every batch was a compile per step: tools/loader_bench.py
+    # measured the pipeline at 2 clips/s before, 200+ after)
+    max_frames = -(-int(mel_lens.max()) // pad_frame_multiple) * pad_frame_multiple
+    max_samples = max_frames * HOP_LENGTH
 
     audio = np.zeros((len(samples), max_samples), dtype=np.float32)
     for i, s in enumerate(samples):
         n = min(s["audio"].shape[0], max_samples)
         audio[i, :n] = s["audio"][:n]
 
+    import jax
+
     from f5_tts_tpu.audio.mel import log_mel_spectrogram
 
-    mel = np.asarray(log_mel_spectrogram(audio))
+    # the mel is a HOST data stage (the reference computes it inside the
+    # loader's C++ stream, data.py:81-86): pin it to the CPU backend so it
+    # never contends with the accelerator for the training step — and never
+    # violates the one-in-flight-computation rule on tunneled backends
+    try:
+        host = jax.devices("cpu")[0]
+    except RuntimeError:  # pragma: no cover - cpu platform always registers
+        host = None
+    with jax.default_device(host):
+        mel = np.asarray(log_mel_spectrogram(audio))
 
     # zero past each item's true length (the reference's batch pad value is
     # 0.0 mel, not the log floor)
@@ -249,12 +265,38 @@ def collate_audio_batch(
     mel = np.where((frame_idx < mel_lens[:, None])[..., None], mel, 0.0)
     mel = pad_to_multiple(mel, axis=1, multiple=pad_frame_multiple, value=0.0)
 
+    return {"mel_spec": mel, "mel_len": mel_lens,
+            "transcript": _collate_transcripts(samples)}
+
+
+def _collate_transcripts(samples: list[dict]) -> np.ndarray:
     nt = max(s["transcript"].shape[0] for s in samples)
     transcript = np.full((len(samples), nt), -1, dtype=np.int32)
     for i, s in enumerate(samples):
         transcript[i, : s["transcript"].shape[0]] = s["transcript"]
+    return transcript
 
-    return {"mel_spec": mel, "mel_len": mel_lens, "transcript": transcript}
+
+def collate_raw_audio_batch(
+    samples: list[dict],
+    pad_frame_multiple: int = 256,
+) -> dict:
+    """Raw-audio batch for the on-device mel front-end
+    (training.trainer.make_train_step_from_audio): audio zero-padded to the
+    frame-bucket boundary, NO host mel — the accelerator computes it inside
+    the jitted train step. Keeps the host pipeline pure IO (decode at
+    ~1400 clips/s threaded) instead of mel-bound (~120 s-audio/s)."""
+    mel_lens = np.array([s["audio"].shape[0] // HOP_LENGTH for s in samples], dtype=np.int32)
+    max_frames = -(-int(mel_lens.max()) // pad_frame_multiple) * pad_frame_multiple
+    max_samples = max_frames * HOP_LENGTH
+
+    audio = np.zeros((len(samples), max_samples), dtype=np.float32)
+    for i, s in enumerate(samples):
+        n = min(s["audio"].shape[0], max_samples)
+        audio[i, :n] = s["audio"][:n]
+
+    return {"audio": audio, "mel_len": mel_lens,
+            "transcript": _collate_transcripts(samples)}
 
 
 def make_training_pipeline(
@@ -267,20 +309,24 @@ def make_training_pipeline(
     pad_frame_multiple: int = 256,
     seed: int | None = None,
     drop_remainder: bool = True,
+    on_device_mel: bool = False,
 ) -> Stream:
     """The full driver pipeline (reference: train_libritts_small.py:44-52):
     repeat -> shuffle -> threaded decode -> batch(pad) -> pad_to_multiple ->
     prefetch. drop_remainder defaults True so batches stay shardable over a
-    data-parallel mesh axis."""
+    data-parallel mesh axis. on_device_mel=True yields raw-audio batches for
+    trainers running the mel front-end inside the jitted step (pass
+    on_device_mel=True to F5TTSTrainer.train as well)."""
     from f5_tts_tpu.data.libritts import decode_sample
 
+    collate = collate_raw_audio_batch if on_device_mel else collate_audio_batch
     return (
         samples.repeat(epochs)
         .shuffle(shuffle_buffer, seed=seed)
         .map(decode_sample, num_threads=num_threads)
         .batch(
             batch_size,
-            lambda b: collate_audio_batch(b, pad_frame_multiple),
+            lambda b: collate(b, pad_frame_multiple),
             drop_remainder=drop_remainder,
         )
         .prefetch(prefetch_size or 2)

@@ -114,6 +114,36 @@ def make_train_step(
     return train_step
 
 
+def make_train_step_from_audio(
+    dit_cfg: DiTConfig,
+    cfm_cfg: CFMConfig,
+    optimizer: optax.GradientTransformation,
+    ema_decay: float | None = None,
+):
+    """Train step taking RAW audio [b, n_samples]: the mel front-end runs
+    inside the jitted step ON THE ACCELERATOR (µs of MXU time) instead of on
+    the host (the CPU mel is ~120 s-audio/s single-threaded and throttles the
+    pipeline below the step's consumption rate — tools/loader_bench.py).
+    The reference computes mel in its C++ loader (data.py:81-86); moving it
+    on-device is the TPU-idiomatic equivalent (SURVEY.md §2b).
+
+    Semantics match the host-mel step exactly: audio must be zero-padded to
+    a whole frame-bucket (collate_raw_audio_batch), and the padded frames are
+    re-zeroed after the mel (the training forward uses no attention mask —
+    reference cfm.py:234-241 — so the cond padding value is load-bearing)."""
+    from f5_tts_tpu.audio.mel import log_mel_spectrogram
+
+    inner = make_train_step(dit_cfg, cfm_cfg, optimizer, ema_decay=ema_decay)
+
+    def train_step(state: dict, audio: jax.Array, text: jax.Array, lens: jax.Array, key: jax.Array):
+        mel = log_mel_spectrogram(audio)
+        frames = jnp.arange(mel.shape[1])[None, :]
+        mel = jnp.where((frames < lens[:, None])[..., None], mel, 0.0)
+        return inner(state, mel, text, lens, key)
+
+    return train_step
+
+
 class F5TTSTrainer:
     """Training driver (reference API: trainer.py:52-295)."""
 
@@ -344,10 +374,14 @@ class F5TTSTrainer:
         checkpoint: int | str | None = None,  # step number or "latest"
         log_every: int = 10,
         seed: int = 0,
+        on_device_mel: bool = False,
     ) -> None:
         """Main loop (reference: trainer.py:163-295). `train_dataset` yields
         dicts with "mel_spec" [b, n, d] (or [b, 1, n, d]), "mel_len" [b], and
-        "transcript" [b, nt] int ids padded with -1."""
+        "transcript" [b, nt] int ids padded with -1 — or, with
+        on_device_mel=True, "audio" [b, n_samples] raw batches
+        (data.loader.make_training_pipeline(on_device_mel=True)) whose mel is
+        computed inside the jitted step on the accelerator."""
         if self.log_with_wandb:
             import wandb
 
@@ -384,7 +418,8 @@ class F5TTSTrainer:
             start_step = checkpoint
             print(f"Starting training at step {start_step}")
 
-        step_fn = make_train_step(
+        step_builder = make_train_step_from_audio if on_device_mel else make_train_step
+        step_fn = step_builder(
             self.model.dit_cfg, self.model.cfm_cfg, optimizer, ema_decay=self.ema_decay
         )
         if self.mesh is not None:
@@ -407,12 +442,15 @@ class F5TTSTrainer:
 
         try:
             for batch in train_dataset:
-                mel_spec = jnp.asarray(batch["mel_spec"])
-                if mel_spec.ndim == 4:  # [b, 1, n, d] from per-item mel transforms
-                    mel_spec = mel_spec[:, 0]
+                if on_device_mel:
+                    inp = jnp.asarray(batch["audio"])  # [b, n_samples]
+                    seq_len = inp.shape[1] // HOP_LENGTH
+                else:
+                    inp = jnp.asarray(batch["mel_spec"])
+                    if inp.ndim == 4:  # [b, 1, n, d] from per-item mel transforms
+                        inp = inp[:, 0]
+                    seq_len = inp.shape[1]
                 mel_lens = jnp.asarray(batch["mel_len"], dtype=jnp.int32).reshape(-1)
-
-                seq_len = mel_spec.shape[1]
                 text = np.asarray(batch["transcript"])
                 if text.ndim == 3:
                     text = text[:, :, 0] if text.shape[-1] == 1 else text[:, 0]
@@ -421,7 +459,7 @@ class F5TTSTrainer:
                 text = jnp.asarray(text[:, :seq_len], dtype=jnp.int32)
 
                 key = jax.random.fold_in(root_key, global_step)
-                self.state, loss = train_step(self.state, mel_spec, text, mel_lens, key)
+                self.state, loss = train_step(self.state, inp, text, mel_lens, key)
 
                 global_step += 1
                 if global_step % log_every == 0 or global_step == start_step + 1:

@@ -177,3 +177,85 @@ def test_graft_entry_dryrun():
 
     g.dryrun_multichip(8)
     g.dryrun_multichip(1)
+
+
+def test_on_device_mel_step_matches_host_mel_step():
+    """make_train_step_from_audio (mel inside the jitted step) must produce
+    the same loss and updated params as the host-mel step fed
+    collate_audio_batch's output for the same raw audio."""
+    from f5_tts_tpu.data.loader import collate_raw_audio_batch
+    from f5_tts_tpu.training.trainer import make_train_step_from_audio
+
+    rng = np.random.default_rng(3)
+    samples = [
+        {"audio": (0.1 * rng.standard_normal(24_000 * s)).astype(np.float32),
+         "transcript": rng.integers(0, 255, (12,)).astype(np.int32)}
+        for s in (1, 2)
+    ]
+    host = collate_audio_batch(samples, pad_frame_multiple=64)
+    raw = collate_raw_audio_batch(samples, pad_frame_multiple=64)
+    assert raw["audio"].shape[1] // 256 == host["mel_spec"].shape[1]
+    np.testing.assert_array_equal(host["mel_len"], raw["mel_len"])
+
+    opt = make_optimizer()
+    params = init_dit(jax.random.key(0), TINY)
+    key = jax.random.key(5)
+    n = host["mel_spec"].shape[1]
+    text = np.pad(host["transcript"], ((0, 0), (0, n - host["transcript"].shape[1])),
+                  constant_values=-1)
+
+    s1 = init_train_state(params, opt)
+    s1, loss_host = jax.jit(make_train_step(TINY, CFM, opt))(
+        s1, jnp.asarray(host["mel_spec"]), jnp.asarray(text),
+        jnp.asarray(host["mel_len"]), key)
+
+    s2 = init_train_state(params, opt)
+    s2, loss_raw = jax.jit(make_train_step_from_audio(TINY, CFM, opt))(
+        s2, jnp.asarray(raw["audio"]), jnp.asarray(text),
+        jnp.asarray(raw["mel_len"]), key)
+
+    assert abs(float(loss_host) - float(loss_raw)) < 1e-5
+    diffs = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
+                         s1["params"], s2["params"])
+    assert max(jax.tree.leaves(diffs)) < 1e-5
+
+
+def test_training_pipeline_on_device_mel(tmp_path):
+    """make_training_pipeline(on_device_mel=True) yields raw-audio batches."""
+    from f5_tts_tpu.audio.io import write_wav
+    from f5_tts_tpu.data.libritts import load_dir
+
+    rng = np.random.default_rng(0)
+    d = tmp_path / "x" / "0"
+    d.mkdir(parents=True)
+    for i in range(4):
+        write_wav(d / f"c{i}.wav", (0.1 * rng.standard_normal(24_000)).astype(np.float32), 24_000)
+        (d / f"c{i}.normalized.txt").write_text(f"clip {i}")
+
+    batches = list(make_training_pipeline(load_dir(tmp_path), batch_size=2, epochs=1,
+                                          shuffle_buffer=4, num_threads=2,
+                                          on_device_mel=True, drop_remainder=False))
+    assert batches and all(set(b) == {"audio", "mel_len", "transcript"} for b in batches)
+    assert all(b["audio"].ndim == 2 and b["audio"].shape[1] % 256 == 0 for b in batches)
+
+
+def test_trainer_end_to_end_on_device_mel(tmp_path):
+    """trainer.train(on_device_mel=True) consumes raw-audio batches through
+    the full loop (step build, batch feed, checkpointing)."""
+    from f5_tts_tpu.training import F5TTSTrainer
+
+    model = F5TTS.init(jax.random.key(0), TINY, cfm_cfg=CFM)
+    rng = np.random.default_rng(0)
+
+    def dataset():
+        for i in range(4):
+            audio = (0.1 * rng.standard_normal((2, 64 * 256))).astype(np.float32)
+            yield {"audio": audio,
+                   "mel_len": np.full((2,), 64, np.int32),
+                   "transcript": rng.integers(0, 255, (2, 16)).astype(np.int32)}
+
+    trainer = F5TTSTrainer(model, num_warmup_steps=2, results_dir=tmp_path)
+    trainer.train(dataset(), learning_rate=1e-4, total_steps=4, save_every=4,
+                  sample_every=10**9, log_every=2, on_device_mel=True)
+    assert "f5tts_4.safetensors" in os.listdir(tmp_path)
+    assert int(trainer.state["step"]) == 4

@@ -26,7 +26,12 @@ import numpy as np
 
 from f5_tts_tpu.config import CFMConfig, F5TTS_SMALL, F5TTS_V1_BASE
 from f5_tts_tpu.models.dit import init_dit
-from f5_tts_tpu.training.trainer import init_train_state, make_optimizer, make_train_step
+from f5_tts_tpu.training.trainer import (
+    init_train_state,
+    make_optimizer,
+    make_train_step,
+    make_train_step_from_audio,
+)
 from f5_tts_tpu.utils.profiling import device_sync
 
 
@@ -40,6 +45,8 @@ def main() -> None:
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--no-tapsum", action="store_true", help="force XLA grouped-conv lowering")
     ap.add_argument("--no-flash", action="store_true", help="force jnp attention fallback")
+    ap.add_argument("--from-audio", action="store_true",
+                    help="raw-audio step: mel front-end inside the jitted step")
     args = ap.parse_args()
 
     if args.no_tapsum:
@@ -56,10 +63,16 @@ def main() -> None:
     optimizer = make_optimizer()
     params = init_dit(jax.random.key(0), cfg)
     state = init_train_state(params, optimizer)
-    step = jax.jit(make_train_step(cfg, cfm_cfg, optimizer), donate_argnums=(0,))
+    builder = make_train_step_from_audio if args.from_audio else make_train_step
+    step = jax.jit(builder(cfg, cfm_cfg, optimizer), donate_argnums=(0,))
 
     rng = np.random.default_rng(0)
-    mel = jnp.asarray(rng.standard_normal((args.batch, args.frames, cfg.mel_dim)), jnp.float32)
+    if args.from_audio:
+        mel = jnp.asarray(
+            0.1 * rng.standard_normal((args.batch, args.frames * 256)), jnp.float32
+        )
+    else:
+        mel = jnp.asarray(rng.standard_normal((args.batch, args.frames, cfg.mel_dim)), jnp.float32)
     text = jnp.asarray(rng.integers(0, cfg.text_num_embeds, (args.batch, 64)), jnp.int32)
     lens = jnp.full((args.batch,), args.frames, jnp.int32)
 
@@ -82,6 +95,7 @@ def main() -> None:
                 "config": args.config,
                 "dtype": args.dtype,
                 "remat": args.remat,
+                "from_audio": args.from_audio,
                 "batch": args.batch,
                 "frames": args.frames,
                 "ms_per_step": round(dt * 1e3, 1),
