@@ -259,3 +259,34 @@ def test_trainer_end_to_end_on_device_mel(tmp_path):
                   sample_every=10**9, log_every=2, on_device_mel=True)
     assert "f5tts_4.safetensors" in os.listdir(tmp_path)
     assert int(trainer.state["step"]) == 4
+
+
+def test_mesh_sharded_from_audio_step_matches_single_device():
+    """The raw-audio (on-device mel) step shards over the same DP+TP mesh:
+    batch_sharding partitions the leading axis of the 2D audio batch, and the
+    in-step mel computes per-shard with no cross-device traffic."""
+    from f5_tts_tpu.parallel.mesh import batch_sharding, create_mesh, shard_state, shard_train_step
+    from f5_tts_tpu.training.trainer import make_train_step_from_audio
+
+    params = init_dit(jax.random.key(0), TINY)
+    opt = make_optimizer(learning_rate=1e-3, num_warmup_steps=1, total_steps=100)
+    step_fn = make_train_step_from_audio(TINY, CFM, opt)
+
+    rng = np.random.default_rng(1)
+    audio = jnp.asarray(0.1 * rng.standard_normal((4, 64 * 256)), jnp.float32)
+    text = jnp.asarray(rng.integers(0, 255, (4, 16)), jnp.int32)
+    lens = jnp.full((4,), 64, jnp.int32)
+    key = jax.random.key(3)
+
+    state1 = init_train_state(params, opt)
+    state1, loss1 = jax.jit(step_fn)(state1, audio, text, lens, key)
+
+    mesh = create_mesh(data=4, model=2)
+    state2 = shard_state(init_train_state(params, opt), mesh)
+    sharded = shard_train_step(step_fn, mesh, state2)
+    dsh = batch_sharding(mesh)
+    state2, loss2 = sharded(
+        state2, jax.device_put(audio, dsh), jax.device_put(text, dsh),
+        jax.device_put(lens, dsh), key,
+    )
+    np.testing.assert_allclose(float(loss1), float(loss2), rtol=2e-4)
