@@ -230,18 +230,7 @@ def collate_audio_batch(
     (train_libritts_small.py:49-51): mel padded with 0.0 past each item's
     length, frames padded to a multiple of 256 so jit sees few shapes.
     """
-    mel_lens = np.array([s["audio"].shape[0] // HOP_LENGTH for s in samples], dtype=np.int32)
-    # pad the raw audio to the frame-bucket boundary BEFORE the mel, so the
-    # mel jit compiles once per bucket instead of once per batch (a fresh
-    # max-length every batch was a compile per step: tools/loader_bench.py
-    # measured the pipeline at 2 clips/s before, 200+ after)
-    max_frames = -(-int(mel_lens.max()) // pad_frame_multiple) * pad_frame_multiple
-    max_samples = max_frames * HOP_LENGTH
-
-    audio = np.zeros((len(samples), max_samples), dtype=np.float32)
-    for i, s in enumerate(samples):
-        n = min(s["audio"].shape[0], max_samples)
-        audio[i, :n] = s["audio"][:n]
+    audio, mel_lens = _bucket_audio(samples, pad_frame_multiple)
 
     import jax
 
@@ -259,14 +248,32 @@ def collate_audio_batch(
         mel = np.asarray(log_mel_spectrogram(audio))
 
     # zero past each item's true length (the reference's batch pad value is
-    # 0.0 mel, not the log floor)
+    # 0.0 mel, not the log floor); the bucketed audio guarantees the frame
+    # count is already a pad_frame_multiple multiple
     n = mel.shape[1]
+    assert n % pad_frame_multiple == 0, (n, pad_frame_multiple)
     frame_idx = np.arange(n)[None, :]
     mel = np.where((frame_idx < mel_lens[:, None])[..., None], mel, 0.0)
-    mel = pad_to_multiple(mel, axis=1, multiple=pad_frame_multiple, value=0.0)
 
     return {"mel_spec": mel, "mel_len": mel_lens,
             "transcript": _collate_transcripts(samples)}
+
+
+def _bucket_audio(samples: list[dict], pad_frame_multiple: int) -> tuple[np.ndarray, np.ndarray]:
+    """Zero-pad a batch's raw audio to the frame-bucket boundary BEFORE any
+    mel, so the mel jit compiles once per bucket instead of once per batch
+    (a fresh max-length every batch was a compile per step:
+    tools/loader_bench.py measured the host-mel pipeline at 12 s-audio/s
+    before bucketing, ~520 after)."""
+    mel_lens = np.array([s["audio"].shape[0] // HOP_LENGTH for s in samples], dtype=np.int32)
+    max_frames = -(-int(mel_lens.max()) // pad_frame_multiple) * pad_frame_multiple
+    max_samples = max_frames * HOP_LENGTH
+
+    audio = np.zeros((len(samples), max_samples), dtype=np.float32)
+    for i, s in enumerate(samples):
+        n = min(s["audio"].shape[0], max_samples)
+        audio[i, :n] = s["audio"][:n]
+    return audio, mel_lens
 
 
 def _collate_transcripts(samples: list[dict]) -> np.ndarray:
@@ -286,15 +293,7 @@ def collate_raw_audio_batch(
     frame-bucket boundary, NO host mel — the accelerator computes it inside
     the jitted train step. Keeps the host pipeline pure IO (decode at
     ~1400 clips/s threaded) instead of mel-bound (~120 s-audio/s)."""
-    mel_lens = np.array([s["audio"].shape[0] // HOP_LENGTH for s in samples], dtype=np.int32)
-    max_frames = -(-int(mel_lens.max()) // pad_frame_multiple) * pad_frame_multiple
-    max_samples = max_frames * HOP_LENGTH
-
-    audio = np.zeros((len(samples), max_samples), dtype=np.float32)
-    for i, s in enumerate(samples):
-        n = min(s["audio"].shape[0], max_samples)
-        audio[i, :n] = s["audio"][:n]
-
+    audio, mel_lens = _bucket_audio(samples, pad_frame_multiple)
     return {"audio": audio, "mel_len": mel_lens,
             "transcript": _collate_transcripts(samples)}
 

@@ -80,6 +80,9 @@ class _Request:
     # whole-request latency — and rank-0 groups always dispatch first.
     stream_rank: int = 0
     speed: float = 1.0
+    # token-id cache filled by MicroBatcher._tokenize (a request can pass
+    # through duration prediction AND synthesis; tokenize once)
+    text_ids: np.ndarray | None = None
     future: Future = field(default_factory=Future)
 
     def group_key(self, bucket: int) -> tuple:
@@ -137,7 +140,11 @@ class MicroBatcher(threading.Thread):
                     for r in need_prediction:
                         if not r.future.done():
                             r.future.set_exception(e)
-                    batch = [r for r in batch if r.duration_frames is not None]
+                # drop anything unresolved OR already failed (a partially
+                # filled batch must not synthesize for a failed future:
+                # set_result on it would raise and poison its group-mates)
+                batch = [r for r in batch
+                         if r.duration_frames is not None and not r.future.done()]
 
             bucket = self.model.cfm_cfg.duration_bucket
             groups: dict[tuple, list[_Request]] = {}
@@ -175,24 +182,39 @@ class MicroBatcher(threading.Thread):
         return audio
 
     def _tokenize(self, reqs: list[_Request]) -> np.ndarray:
-        texts = convert_char_to_pinyin([r.ref_text + " " + r.text for r in reqs])
-        return self.model._tokenize(texts)
+        """Token ids for a batch, cached per request: pinyin conversion +
+        vocab lookup run once even when a request passes through both
+        _predict_durations and _run_group."""
+        for r in reqs:
+            if r.text_ids is None:
+                r.text_ids = np.asarray(
+                    self.model._tokenize(convert_char_to_pinyin([r.ref_text + " " + r.text]))
+                )[0]
+        nt = max(r.text_ids.shape[0] for r in reqs)
+        out = np.full((len(reqs), nt), -1, dtype=np.int32)
+        for i, r in enumerate(reqs):
+            out[i, : r.text_ids.shape[0]] = r.text_ids
+        return out
 
     def _predict_durations(self, reqs: list[_Request]) -> None:
         """Resolve duration_frames with the trained duration predictor (one
         batched forward; reference semantics: cfm.py:253-262 + generate.py's
         predictor-by-default behavior). Runs in the batcher thread — the only
-        thread allowed to drive the device."""
+        thread allowed to drive the device. Host-side failures (a degenerate
+        ref for the heuristic fallback) fail only the offending request."""
         import jax.numpy as jnp
 
         if self.model._duration_predictor is None:
             # loader configured without a predictor: fall back to the CLI's
             # byte-length heuristic rather than failing the request
             for r in reqs:
-                r.duration_frames = int(
-                    estimated_duration(r.ref_audio, r.ref_text, r.text, r.speed)
-                    * FRAMES_PER_SEC
-                )
+                try:
+                    r.duration_frames = int(
+                        estimated_duration(r.ref_audio, r.ref_text, r.text, r.speed)
+                        * FRAMES_PER_SEC
+                    )
+                except Exception as e:
+                    r.future.set_exception(e)
             return
 
         bucket = self.model.cfm_cfg.duration_bucket
@@ -261,6 +283,13 @@ class MicroBatcher(threading.Thread):
             for r in group:
                 if not r.future.done():
                     r.future.set_exception(e)
+
+
+def _valid_speed(payload) -> bool:
+    try:
+        return float(payload.get("speed", 1.0)) > 0
+    except (TypeError, ValueError):
+        return False
 
 
 def _pcm16(samples: np.ndarray) -> bytes:
@@ -357,6 +386,9 @@ def make_handler(batcher: MicroBatcher, default_ref: tuple[np.ndarray, str]):
             else:
                 ref_audio, ref_text = default_ref
                 ref_text = payload.get("ref_text", ref_text)
+            if not ref_text:
+                self._json_error(400, "ref_text must be non-empty")
+                return None
 
             rms = float(np.sqrt(np.mean(np.square(ref_audio))))
             if 0 < rms < TARGET_RMS:
@@ -379,12 +411,21 @@ def make_handler(batcher: MicroBatcher, default_ref: tuple[np.ndarray, str]):
             if req.method not in ("euler", "midpoint", "rk4"):
                 self._json_error(400, f"unknown method: {req.method}")
                 return None
+            if not (req.speed > 0):
+                self._json_error(400, "speed must be > 0")
+                return None
             return req
 
         def _resolve_duration(self, payload, text, ref_audio, ref_text):
             """Frames, or None to defer to the trained duration predictor in
             the batcher thread (mirrors the CLI: explicit duration >
-            --estimate-duration heuristic > predictor, generate.py)."""
+            --estimate-duration heuristic > predictor, generate.py).
+
+            Speed semantics intentionally differ between the two automatic
+            paths, matching the reference's own disagreement: the predictor
+            divides the TOTAL duration by speed (reference cfm.py:253-262),
+            the heuristic scales only the generated portion
+            (reference generate.py:104-111)."""
             if payload.get("duration") is not None:
                 return int(float(payload["duration"]) * FRAMES_PER_SEC)
             if payload.get("estimate_duration"):
@@ -408,6 +449,8 @@ def make_handler(batcher: MicroBatcher, default_ref: tuple[np.ndarray, str]):
             text = payload.get("text")
             if not text or not isinstance(text, str):
                 return self._json_error(400, "missing required field: text")
+            if not _valid_speed(payload):
+                return self._json_error(400, "speed must be a number > 0")
 
             try:
                 ref = self._resolve_ref(payload)
@@ -441,6 +484,8 @@ def make_handler(batcher: MicroBatcher, default_ref: tuple[np.ndarray, str]):
             text = payload.get("text")
             if not text or not isinstance(text, str):
                 return self._json_error(400, "missing required field: text")
+            if not _valid_speed(payload):
+                return self._json_error(400, "speed must be a number > 0")
             if payload.get("duration") is not None:
                 return self._json_error(
                     400, "duration is per-request; unsupported with streaming "
@@ -527,6 +572,22 @@ def warmup(model, durations_sec: list[float], steps: int = 8, method: str = "rk4
                 for r in reqs:
                     r.future.result()
             print(f"warmed batch={b} duration={sec}s")
+
+    if model._duration_predictor is not None:
+        # default requests resolve durations with the predictor — warm that
+        # compile too, or the first real request pays it (and head-of-line
+        # blocks everything in its poll window)
+        req = _Request(text="warmup", ref_audio=ref, ref_text="warmup",
+                       duration_frames=None, steps=steps, method=method,
+                       cfg_strength=cfg_strength, sway=-1.0, seed=0)
+        if batcher is not None and batcher.is_alive():
+            batcher.submit(req).result()
+        else:
+            target = batcher if batcher is not None else MicroBatcher(model)
+            target._predict_durations([req])
+            target._run_group([req])
+            req.future.result()
+        print("warmed duration predictor")
 
 
 def serve(model, host: str = "0.0.0.0", port: int = 8930,

@@ -119,6 +119,7 @@ def make_train_step_from_audio(
     cfm_cfg: CFMConfig,
     optimizer: optax.GradientTransformation,
     ema_decay: float | None = None,
+    audio_cfg: "AudioConfig | None" = None,
 ):
     """Train step taking RAW audio [b, n_samples]: the mel front-end runs
     inside the jitted step ON THE ACCELERATOR (µs of MXU time) instead of on
@@ -132,11 +133,16 @@ def make_train_step_from_audio(
     re-zeroed after the mel (the training forward uses no attention mask —
     reference cfm.py:234-241 — so the cond padding value is load-bearing)."""
     from f5_tts_tpu.audio.mel import log_mel_spectrogram
+    from f5_tts_tpu.config import AudioConfig
 
+    acfg = audio_cfg or AudioConfig()
     inner = make_train_step(dit_cfg, cfm_cfg, optimizer, ema_decay=ema_decay)
 
     def train_step(state: dict, audio: jax.Array, text: jax.Array, lens: jax.Array, key: jax.Array):
-        mel = log_mel_spectrogram(audio)
+        mel = log_mel_spectrogram(
+            audio, sample_rate=acfg.sample_rate, n_mels=acfg.n_mels,
+            n_fft=acfg.n_fft, hop_length=acfg.hop_length,
+        )
         frames = jnp.arange(mel.shape[1])[None, :]
         mel = jnp.where((frames < lens[:, None])[..., None], mel, 0.0)
         return inner(state, mel, text, lens, key)
@@ -418,10 +424,15 @@ class F5TTSTrainer:
             start_step = checkpoint
             print(f"Starting training at step {start_step}")
 
-        step_builder = make_train_step_from_audio if on_device_mel else make_train_step
-        step_fn = step_builder(
-            self.model.dit_cfg, self.model.cfm_cfg, optimizer, ema_decay=self.ema_decay
-        )
+        if on_device_mel:
+            step_fn = make_train_step_from_audio(
+                self.model.dit_cfg, self.model.cfm_cfg, optimizer,
+                ema_decay=self.ema_decay, audio_cfg=self.model.audio_cfg,
+            )
+        else:
+            step_fn = make_train_step(
+                self.model.dit_cfg, self.model.cfm_cfg, optimizer, ema_decay=self.ema_decay
+            )
         if self.mesh is not None:
             from f5_tts_tpu.parallel.mesh import shard_train_step
 
@@ -444,7 +455,7 @@ class F5TTSTrainer:
             for batch in train_dataset:
                 if on_device_mel:
                     inp = jnp.asarray(batch["audio"])  # [b, n_samples]
-                    seq_len = inp.shape[1] // HOP_LENGTH
+                    seq_len = inp.shape[1] // self.model.audio_cfg.hop_length
                 else:
                     inp = jnp.asarray(batch["mel_spec"])
                     if inp.ndim == 4:  # [b, 1, n, d] from per-item mel transforms
