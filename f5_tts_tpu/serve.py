@@ -132,35 +132,40 @@ class MicroBatcher(threading.Thread):
                 except queue.Empty:
                     break
 
-            need_prediction = [r for r in batch if r.duration_frames is None]
-            if need_prediction:
-                try:
-                    self._predict_durations(need_prediction)
-                except Exception as e:
-                    for r in need_prediction:
-                        if not r.future.done():
-                            r.future.set_exception(e)
-                # drop anything unresolved OR already failed (a partially
-                # filled batch must not synthesize for a failed future:
-                # set_result on it would raise and poison its group-mates)
-                batch = [r for r in batch
-                         if r.duration_frames is not None and not r.future.done()]
+            self._process_batch(batch)
 
-            bucket = self.model.cfm_cfg.duration_bucket
-            groups: dict[tuple, list[_Request]] = {}
-            for r in batch:
-                groups.setdefault(r.group_key(bucket), []).append(r)
-            # Rank first (someone is waiting on rank-0 audio NOW; rank-1 is a
-            # stream's backfill), then shortest-job-first: a long big-bucket
-            # group must not head-of-line-block small requests gathered in the
-            # same poll. (Groups still run one at a time — the chip serializes
-            # anyway, and this backend requires a single in-flight
-            # computation.)
-            for key, group in sorted(
-                groups.items(),
-                key=lambda kv: (kv[0][6], kv[0][5] * kv[0][0] * len(kv[1])),
-            ):
-                self._run_group(group)
+    def _process_batch(self, batch: list[_Request]) -> None:
+        """Resolve deferred durations, group, and run each group (the whole
+        post-gather path; factored out of run() for direct testability)."""
+        need_prediction = [r for r in batch if r.duration_frames is None]
+        if need_prediction:
+            try:
+                self._predict_durations(need_prediction)
+            except Exception as e:
+                for r in need_prediction:
+                    if not r.future.done():
+                        r.future.set_exception(e)
+            # drop anything unresolved OR already failed (a partially
+            # filled batch must not synthesize for a failed future:
+            # set_result on it would raise and poison its group-mates)
+            batch = [r for r in batch
+                     if r.duration_frames is not None and not r.future.done()]
+
+        bucket = self.model.cfm_cfg.duration_bucket
+        groups: dict[tuple, list[_Request]] = {}
+        for r in batch:
+            groups.setdefault(r.group_key(bucket), []).append(r)
+        # Rank first (someone is waiting on rank-0 audio NOW; rank-1 is a
+        # stream's backfill), then shortest-job-first: a long big-bucket
+        # group must not head-of-line-block small requests gathered in the
+        # same poll. (Groups still run one at a time — the chip serializes
+        # anyway, and this backend requires a single in-flight
+        # computation.)
+        for key, group in sorted(
+            groups.items(),
+            key=lambda kv: (kv[0][6], kv[0][5] * kv[0][0] * len(kv[1])),
+        ):
+            self._run_group(group)
 
     def _ref_lens(self, reqs: list[_Request]) -> np.ndarray:
         hop = self.model.audio_cfg.hop_length

@@ -236,3 +236,30 @@ def test_estimate_duration_flag_bypasses_predictor(server_with_predictor):
                                            "estimate_duration": True, "steps": 2,
                                            "method": "euler", "seed": 0}) as r:
         assert r.read()[:4] == b"RIFF"
+
+
+def test_degenerate_request_does_not_poison_batch():
+    """A request whose duration resolution fails (empty ref_text through the
+    heuristic fallback) must fail alone: batch-mates still get audio.
+    _process_batch is the full post-gather path run() uses."""
+    from f5_tts_tpu.serve import MicroBatcher, _Request
+
+    cfg = DiTConfig(
+        dim=64, depth=2, heads=2, dim_head=32, ff_mult=2, mel_dim=100,
+        text_num_embeds=256, text_dim=32, conv_layers=1, use_flash_attention=False,
+    )
+    vocoder = Vocos.init(jax.random.key(1), VocosConfig(dim=64, intermediate_dim=128, num_layers=2))
+    model = F5TTS.init(jax.random.key(0), cfg, cfm_cfg=CFMConfig(duration_bucket=64),
+                       vocoder=vocoder.decode)
+    b = MicroBatcher(model)
+    ref = np.zeros((12_000,), dtype=np.float32)
+    good = _Request(text="fine request", ref_audio=ref, ref_text="ref",
+                    duration_frames=None, steps=2, method="euler",
+                    cfg_strength=2.0, sway=-1.0, seed=0)
+    bad = _Request(text="bad request", ref_audio=ref, ref_text="",
+                   duration_frames=None, steps=2, method="euler",
+                   cfg_strength=2.0, sway=-1.0, seed=0)
+    b._process_batch([good, bad])
+    assert good.future.result(timeout=300) is not None
+    with pytest.raises(Exception):
+        bad.future.result(timeout=5)
