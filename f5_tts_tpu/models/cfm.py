@@ -378,6 +378,32 @@ class F5TTS:
             )
             save_file(dur_flat, path / "duration_v2.safetensors")
 
+        # config.json (beyond the reference, whose loader hardcodes the base
+        # config): lets from_pretrained round-trip ANY model size, and makes
+        # the snapshot fully offline when the vocoder is recoverable
+        import dataclasses
+        import json
+
+        from f5_tts_tpu.models.vocos import Vocos
+
+        cfg_blob: dict = {"dit": dataclasses.asdict(self.dit_cfg)}
+        if self._duration_predictor is not None:
+            cfg_blob["duration"] = dataclasses.asdict(self._duration_predictor.cfg)
+
+        vocos = getattr(self._vocoder, "__self__", None)
+        if isinstance(vocos, Vocos):
+            from f5_tts_tpu.models.convert import export_vocos_state
+
+            cfg_blob["vocos"] = dataclasses.asdict(vocos.cfg)
+            os.makedirs(path / "vocos", exist_ok=True)
+            save_file(
+                {k: np.ascontiguousarray(np.asarray(v))
+                 for k, v in export_vocos_state(vocos.params).items()},
+                path / "vocos" / "model.safetensors",
+            )
+
+        (path / "config.json").write_text(json.dumps(cfg_blob, indent=2))
+
     # -- helpers -----------------------------------------------------------
 
     def _tokenize(self, text: list[str]) -> np.ndarray:

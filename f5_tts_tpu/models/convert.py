@@ -396,6 +396,23 @@ _MLX_RENAMES = (
 _TORCH_CONV_SUFFIXES = (".dwconv.weight", ".conv1d.0.weight", ".conv1d.2.weight")
 
 
+def export_vocos_state(params: Params) -> dict[str, np.ndarray]:
+    """Vocos param pytree -> flat checkpoint in the published naming
+    (inverse of convert_vocos_state; round-trip tested)."""
+    out: dict[str, np.ndarray] = {}
+    _export_conv1d(out, "backbone.embed", params["embed"])
+    _export_norm(out, "backbone.norm", params["norm"])
+    for i, blk in enumerate(params["convnext"]):
+        _export_conv1d(out, f"backbone.convnext.{i}.dwconv", blk["dwconv"])
+        _export_norm(out, f"backbone.convnext.{i}.norm", blk["norm"])
+        _export_linear(out, f"backbone.convnext.{i}.pwconv1", blk["pwconv1"])
+        _export_linear(out, f"backbone.convnext.{i}.pwconv2", blk["pwconv2"])
+        out[f"backbone.convnext.{i}.gamma"] = np.asarray(blk["gamma"])
+    _export_norm(out, "backbone.final_layer_norm", params["final_layer_norm"])
+    _export_linear(out, "head.out", params["head"])
+    return out
+
+
 def rotary_inv_freq(dim_head: int) -> np.ndarray:
     """The RotaryEmbedding.inv_freq parameter of the reference model
     (reference: rope.py:24). Our functional tree derives RoPE tables on the
@@ -451,7 +468,14 @@ def load_f5tts_pretrained(
 ):
     """Build a ready-to-sample F5TTS from the published checkpoint
     (reference: cfm.py:404-520): vocab, optional duration predictor, vocoder,
-    DiT weights, optional int4/int8 weight-only quantization."""
+    DiT weights, optional int4/int8 weight-only quantization.
+
+    The published artifacts carry no config file, so configs default to the
+    reference's hardcoded base (cfm.py:425-442,460-469); a snapshot written
+    by save_pretrained additionally carries a config.json, which takes
+    precedence — enabling round-trips at ANY model size."""
+    import json as _json
+
     from f5_tts_tpu.models.cfm import F5TTS
     from f5_tts_tpu.models.duration import DurationPredictor
     from f5_tts_tpu.models.vocos import Vocos
@@ -462,10 +486,18 @@ def load_f5tts_pretrained(
 
     vocab = load_vocab(path / "vocab.txt")
 
+    cfg_blob: dict = {}
+    cfg_path = path / "config.json"
+    if cfg_path.exists():
+        cfg_blob = _json.loads(cfg_path.read_text())
+
     duration_predictor = None
     duration_model_path = path / "duration_v2.safetensors"
     if duration_model_path.exists():
-        dur_cfg = DurationConfig(text_num_embeds=len(vocab) - 1)
+        if "duration" in cfg_blob:
+            dur_cfg = DurationConfig(**cfg_blob["duration"])
+        else:
+            dur_cfg = DurationConfig(text_num_embeds=len(vocab) - 1)
         duration_predictor = DurationPredictor(
             convert_duration_state(_load_flat_checkpoint(duration_model_path), dur_cfg),
             dur_cfg,
@@ -475,15 +507,20 @@ def load_f5tts_pretrained(
     # a "vocos" subdirectory inside the snapshot takes precedence, enabling
     # fully offline loading; otherwise fetch the published vocoder repo
     vocos_local = path / "vocos"
-    vocoder = Vocos.from_pretrained(
-        str(vocos_local) if vocos_local.exists() else "lucasnewman/vocos-mel-24khz"
+    vocos_cfg = VocosConfig(**cfg_blob["vocos"]) if "vocos" in cfg_blob else None
+    vocoder = load_vocos_pretrained(
+        str(vocos_local) if vocos_local.exists() else "lucasnewman/vocos-mel-24khz",
+        cfg=vocos_cfg,
     )
 
     model_filename = "model_v1.safetensors"
     if quantization_bits is not None:
         model_filename = f"model_v1_{quantization_bits}b.safetensors"
 
-    dit_cfg = F5TTS_V1_BASE.replace(text_num_embeds=len(vocab) - 1)
+    if "dit" in cfg_blob:
+        dit_cfg = DiTConfig(**cfg_blob["dit"])
+    else:
+        dit_cfg = F5TTS_V1_BASE.replace(text_num_embeds=len(vocab) - 1)
     raw = _load_flat_checkpoint(path / model_filename)
 
     if quantization_bits is not None:
@@ -504,7 +541,9 @@ def load_f5tts_pretrained(
     )
 
 
-def load_vocos_pretrained(repo_id: str = "lucasnewman/vocos-mel-24khz"):
+def load_vocos_pretrained(
+    repo_id: str = "lucasnewman/vocos-mel-24khz", cfg: VocosConfig | None = None
+):
     """Fetch + convert the Vocos vocoder weights."""
     from f5_tts_tpu.models.vocos import Vocos
 
@@ -514,7 +553,7 @@ def load_vocos_pretrained(repo_id: str = "lucasnewman/vocos-mel-24khz"):
 
         local = Path(snapshot_download(repo_id=repo_id))
 
-    cfg = VocosConfig()
+    cfg = cfg or VocosConfig()
     for name in ("model.safetensors", "pytorch_model.bin", "weights.safetensors"):
         ckpt = local / name
         if ckpt.exists():
