@@ -133,3 +133,30 @@ def test_full_offline_roundtrip_and_cli(tmp_path):
           "--output", str(out)])
     wave, sr = read_wav(out)
     assert sr == 24_000 and wave.shape[0] > 24_000
+
+
+def test_quantized_offline_roundtrip(tmp_path):
+    """save_pretrained(q=8) + config.json -> from_pretrained(dir, 8) rebuilds
+    a working quantized model at a non-base size, fully offline."""
+    from f5_tts_tpu.config import VocosConfig
+    from f5_tts_tpu.models.vocos import Vocos
+
+    vocab = {chr(i + 97): i for i in range(26)}
+    vocab[""] = 26
+    cfg = DiTConfig(
+        dim=64, depth=2, heads=2, dim_head=32, ff_mult=2, mel_dim=100,
+        text_num_embeds=len(vocab) - 1, text_dim=64, conv_layers=1,
+        use_flash_attention=False,
+    )
+    vocoder = Vocos.init(jax.random.key(2), VocosConfig(dim=64, intermediate_dim=128, num_layers=2))
+    model = F5TTS.init(jax.random.key(0), cfg, vocab_char_map=vocab, vocoder=vocoder.decode)
+    snap = tmp_path / "q8"
+    model.save_pretrained(snap, quantization_bits=8)
+
+    loaded = F5TTS.from_pretrained(str(snap), quantization_bits=8)
+    assert loaded.dit_cfg == cfg
+    assert "q" in loaded.params["proj_out"]  # quantized leaf survived
+    wave = (0.1 * np.sin(2 * np.pi * 220 * np.arange(12_000) / 24_000)).astype(np.float32)
+    out, _ = loaded.sample(jnp.asarray(wave)[None], ["hello"], duration=100,
+                           steps=2, method="euler", seed=0)
+    assert np.isfinite(np.asarray(out)).all()
