@@ -100,11 +100,29 @@ def convert_char_to_pinyin(text_list: list[str], polyphone: bool = True) -> list
     return final_text_list
 
 
+def _is_han(c: str) -> bool:
+    return (
+        "㐀" <= c <= "鿿"          # CJK Unified + Ext-A
+        or "豈" <= c <= "﫿"       # compatibility ideographs
+        or 0x20000 <= ord(c) <= 0x2FA1F    # Ext-B..F + supplement
+    )
+
+
 def _lazy_pinyin(seg: str) -> list[str]:
+    """pypinyin's lazy_pinyin, imported lazily.
+
+    The reference's byte-length heuristic (utils.py:150-164) routes EVERY
+    3-byte UTF-8 character here — em-dashes, ellipses, math symbols — not
+    just Chinese; pypinyin passes non-Han input through as one unchanged
+    group. Without pypinyin installed we reproduce that pass-through and
+    raise the install hint only when the segment actually contains Han
+    characters (plain English with an em-dash must not require pypinyin)."""
     try:
         from pypinyin import Style, lazy_pinyin
     except ImportError as e:  # pragma: no cover - environment dependent
-        raise ImportError(
-            "pypinyin is required for Chinese text; install f5-tts-tpu[zh]"
-        ) from e
+        if any(_is_han(c) for c in seg):
+            raise ImportError(
+                "pypinyin is required for Chinese text; install f5-tts-tpu[zh]"
+            ) from e
+        return [seg]
     return lazy_pinyin(seg, style=Style.TONE3, tone_sandhi=True)

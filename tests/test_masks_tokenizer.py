@@ -87,3 +87,68 @@ def test_pinyin_ascii_path():
     assert "Hello world" in s
     assert ";" not in s  # custom translation ; -> ,
     assert "“" not in s  # curly quotes normalized
+
+
+def test_tokenizer_fuzz_arbitrary_unicode():
+    """Any unicode input must tokenize without crashing, with ids in range
+    for the active vocab (byte fallback: [0, 255]; vocab map: [-1, V-1] with
+    OOV -> 0) and consistent padding."""
+    import random
+
+    from f5_tts_tpu.utils.tokenizer import (
+        convert_char_to_pinyin,
+        list_str_to_idx,
+        list_str_to_tensor,
+    )
+
+    rng = random.Random(0)
+
+    def non_cjk():
+        # arbitrary code points outside the CJK ranges convert_char_to_pinyin
+        # routes through pypinyin (which is an optional dependency)
+        while True:
+            c = chr(rng.randint(1, 0xD7FF))
+            if not ("\u3100" <= c <= "\u9fff" or "\uf900" <= c <= "\ufaff"):
+                return c
+
+    pools = [
+        non_cjk,
+        lambda: chr(rng.randint(32, 126)),              # ASCII
+        lambda: rng.choice("\u200b\u2029\ufeff\t\n \u201c\u201d\u2018\u2019"),
+    ]
+    texts = []
+    for _ in range(16):
+        n = rng.randint(0, 40)
+        texts.append("".join(rng.choice(pools)() for _ in range(n)))
+
+    conv = convert_char_to_pinyin(texts)  # must not raise (non-CJK path)
+    assert len(conv) == len(texts)
+
+    # the CJK branch needs pypinyin: without it the error must be the
+    # actionable install hint, never a silent wrong tokenization
+    try:
+        import pypinyin  # noqa: F401
+    except ImportError:
+        import pytest as _pytest
+
+        with _pytest.raises(ImportError, match="pypinyin"):
+            convert_char_to_pinyin(["\u4f60\u597d"])
+
+    ids = np.asarray(list_str_to_tensor(conv))
+    assert ids.ndim == 2 and ids.shape[0] == len(texts)
+    assert ids.min() >= -1 and ids.max() <= 255
+
+    vocab = {chr(i + 97): i for i in range(26)}
+    ids_v = np.asarray(list_str_to_idx(conv, vocab))
+    assert ids_v.min() >= -1 and ids_v.max() < 26
+
+
+def test_punctuation_only_3byte_chars_need_no_pypinyin():
+    """Em-dash / ellipsis are 3-byte UTF-8 and hit the reference's 'CJK'
+    byte-length branch (utils.py:150-164) — they must tokenize without the
+    optional pypinyin dependency, passing through unchanged."""
+    from f5_tts_tpu.utils.tokenizer import convert_char_to_pinyin
+
+    out = convert_char_to_pinyin(["wait — what… ok"])
+    joined = "".join(out[0])
+    assert "—" in joined and "…" in joined
