@@ -621,6 +621,8 @@ def main(argv=None):
     ap.add_argument("--warmup", type=str, default=None,
                     help="comma-separated durations (seconds) to pre-compile, e.g. '8,16,30'")
     ap.add_argument("--warmup-steps", type=int, default=8)
+    ap.add_argument("--warmup-batches", type=str, default="1",
+                    help="comma-separated batch sizes to pre-compile, e.g. '1,4,8'")
     args = ap.parse_args(argv)
 
     from f5_tts_tpu.models.cfm import F5TTS
@@ -631,7 +633,9 @@ def main(argv=None):
     httpd = serve(model, args.host, args.port, args.max_batch, args.max_wait_ms)
     if args.warmup:
         warmup(model, [float(s) for s in args.warmup.split(",")],
-               steps=args.warmup_steps, batcher=httpd.batcher)
+               steps=args.warmup_steps,
+               batch_sizes=tuple(int(b) for b in args.warmup_batches.split(",")),
+               batcher=httpd.batcher)
         print("warmup complete")
     try:
         threading.Event().wait()
