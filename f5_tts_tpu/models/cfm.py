@@ -386,11 +386,17 @@ class F5TTS:
 
         from f5_tts_tpu.models.vocos import Vocos
 
-        cfg_blob: dict = {"dit": dataclasses.asdict(self.dit_cfg)}
+        cfg_blob: dict = {
+            "dit": dataclasses.asdict(self.dit_cfg),
+            "audio": dataclasses.asdict(self.audio_cfg),
+            "cfm": dataclasses.asdict(self.cfm_cfg),
+        }
         if self._duration_predictor is not None:
             cfg_blob["duration"] = dataclasses.asdict(self._duration_predictor.cfg)
 
-        vocos = getattr(self._vocoder, "__self__", None)
+        vocos = self._vocoder if isinstance(self._vocoder, Vocos) else getattr(
+            self._vocoder, "__self__", None
+        )
         if isinstance(vocos, Vocos):
             from f5_tts_tpu.models.convert import export_vocos_state
 

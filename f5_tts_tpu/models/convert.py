@@ -490,6 +490,7 @@ def load_f5tts_pretrained(
     cfg_path = path / "config.json"
     if cfg_path.exists():
         cfg_blob = _json.loads(cfg_path.read_text())
+    audio_cfg = AudioConfig(**cfg_blob.get("audio", {}))
 
     duration_predictor = None
     duration_model_path = path / "duration_v2.safetensors"
@@ -501,6 +502,7 @@ def load_f5tts_pretrained(
         duration_predictor = DurationPredictor(
             convert_duration_state(_load_flat_checkpoint(duration_model_path), dur_cfg),
             dur_cfg,
+            audio_cfg=audio_cfg,
             vocab_char_map=vocab,
         )
 
@@ -530,11 +532,15 @@ def load_f5tts_pretrained(
     else:
         params = convert_dit_state(raw, dit_cfg)
 
+    cfm_blob = dict(cfg_blob.get("cfm", {}))
+    if "frac_lengths_mask" in cfm_blob:  # JSON stores the tuple as a list
+        cfm_blob["frac_lengths_mask"] = tuple(cfm_blob["frac_lengths_mask"])
+
     return F5TTS(
         params,
         dit_cfg,
-        cfm_cfg=CFMConfig(),
-        audio_cfg=AudioConfig(),
+        cfm_cfg=CFMConfig(**cfm_blob),
+        audio_cfg=audio_cfg,
         vocab_char_map=vocab,
         vocoder=vocoder.decode,
         duration_predictor=duration_predictor,

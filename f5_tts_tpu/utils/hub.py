@@ -22,6 +22,10 @@ def fetch_from_hub(hf_repo: str, quantization_bits: int | None = None) -> Path:
     return Path(
         snapshot_download(
             repo_id=hf_repo,
-            allow_patterns=[model_filename, "duration_v2.safetensors", "*.txt"],
+            # config.json + vocos/* exist only in save_pretrained snapshots
+            # (not the published artifact) but must download when present, or
+            # the config-honoring loader silently falls back to base config
+            allow_patterns=[model_filename, "duration_v2.safetensors", "*.txt",
+                            "config.json", "vocos/*"],
         )
     )

@@ -101,10 +101,12 @@ def convert_char_to_pinyin(text_list: list[str], polyphone: bool = True) -> list
 
 
 def _is_han(c: str) -> bool:
+    o = ord(c)
     return (
-        "㐀" <= c <= "鿿"          # CJK Unified + Ext-A
-        or "豈" <= c <= "﫿"       # compatibility ideographs
-        or 0x20000 <= ord(c) <= 0x2FA1F    # Ext-B..F + supplement
+        0x3400 <= o <= 0x9FFF       # CJK Unified + Ext-A
+        or o in (0x3005, 0x3007)    # iteration mark, ideographic zero
+        or 0xF900 <= o <= 0xFAFF    # compatibility ideographs
+        or 0x20000 <= o <= 0x3FFFD  # Ext-B..H + compat supplement
     )
 
 

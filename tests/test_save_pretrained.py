@@ -160,3 +160,35 @@ def test_quantized_offline_roundtrip(tmp_path):
     out, _ = loaded.sample(jnp.asarray(wave)[None], ["hello"], duration=100,
                            steps=2, method="euler", seed=0)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_nondefault_audio_config_roundtrips(tmp_path):
+    """config.json carries AudioConfig/CFMConfig; a non-default front-end
+    (n_mels=80) must reload exactly, not fall back to defaults."""
+    from f5_tts_tpu.config import AudioConfig, CFMConfig
+
+    cfg = DiTConfig(
+        dim=64, depth=2, heads=2, dim_head=32, ff_mult=2, mel_dim=80,
+        text_num_embeds=255, text_dim=32, conv_layers=1, use_flash_attention=False,
+    )
+    audio_cfg = AudioConfig(n_mels=80, hop_length=512)
+    cfm_cfg = CFMConfig(duration_bucket=64, frac_lengths_mask=(0.6, 0.9))
+    vocab = {chr(i + 32): i for i in range(255)}
+    vocab[""] = 255
+    from f5_tts_tpu.config import VocosConfig
+    from f5_tts_tpu.models.vocos import Vocos
+
+    vocoder = Vocos.init(
+        jax.random.key(3),
+        VocosConfig(input_channels=80, dim=64, intermediate_dim=128, num_layers=2,
+                    hop_length=512),
+    )
+    model = F5TTS.init(jax.random.key(0), cfg, audio_cfg=audio_cfg, cfm_cfg=cfm_cfg,
+                       vocab_char_map=vocab, vocoder=vocoder.decode)
+    snap = tmp_path / "snap80"
+    model.save_pretrained(snap)
+
+    loaded = F5TTS.from_pretrained(str(snap))
+    assert loaded.audio_cfg == audio_cfg
+    assert loaded.cfm_cfg == cfm_cfg
+    assert loaded.dit_cfg == cfg
