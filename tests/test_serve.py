@@ -263,3 +263,12 @@ def test_degenerate_request_does_not_poison_batch():
     assert good.future.result(timeout=300) is not None
     with pytest.raises(Exception):
         bad.future.result(timeout=5)
+
+
+def test_warmup_compiles_predictor_path(server_with_predictor):
+    """warmup() with a predictor-equipped model also exercises the
+    duration-prediction path (detached batcher, no live queue)."""
+    from f5_tts_tpu.serve import warmup
+
+    warmup(server_with_predictor.batcher.model, [1.0], steps=2, method="euler",
+           batcher=None)
