@@ -20,12 +20,26 @@ def istft(
     window: jax.Array,  # [n_fft]
     n_fft: int,
     hop_length: int,
+    valid_frames: jax.Array | None = None,  # dynamic scalar <= frames
 ) -> jax.Array:
-    """Returns waveform [b, (frames - 1) * hop_length] (center-trimmed)."""
+    """Returns waveform [b, (frames - 1) * hop_length] (center-trimmed).
+
+    `valid_frames` (a traced scalar) makes the result over the first
+    `(valid_frames - 1) * hop_length` samples EXACTLY equal to
+    `istft(spec[:, :valid_frames])`: frames past it are zeroed out of the
+    overlap-add AND excluded from the window-envelope normalization, so a
+    bucket-padded batch reproduces the trimmed computation bitwise. This is
+    what lets the sampling pipeline vocode at a static bucket length (one jit
+    cache entry per bucket) while callers trim host-side (see
+    models/cfm.cfm_sample_e2e)."""
     if n_fft % hop_length != 0:
         raise ValueError("n_fft must be a multiple of hop_length")
     ratio = n_fft // hop_length
     b, frames = spec.shape[0], spec.shape[1]
+
+    if valid_frames is not None:
+        valid = (jnp.arange(frames) < valid_frames)
+        spec = spec * valid[None, :, None].astype(spec.dtype)
 
     frames_time = jnp.fft.irfft(spec, n=n_fft, axis=-1)  # [b, frames, n_fft]
     ywin = frames_time * window[None, None, :].astype(frames_time.dtype)
@@ -42,8 +56,15 @@ def istft(
     w2 = jnp.square(window)
     w2_chunks = w2.reshape(ratio, hop_length)
     env_blocks = jnp.zeros((frames + ratio - 1, hop_length), dtype=w2.dtype)
-    for j in range(ratio):
-        env_blocks = env_blocks.at[j : j + frames].add(jnp.broadcast_to(w2_chunks[j], (frames, hop_length)))
+    if valid_frames is None:
+        for j in range(ratio):
+            env_blocks = env_blocks.at[j : j + frames].add(
+                jnp.broadcast_to(w2_chunks[j], (frames, hop_length))
+            )
+    else:
+        valid_f = valid.astype(w2.dtype)[:, None]
+        for j in range(ratio):
+            env_blocks = env_blocks.at[j : j + frames].add(w2_chunks[j][None, :] * valid_f)
     env = env_blocks.reshape(-1)
 
     y = y / jnp.maximum(env, 1e-11)

@@ -294,9 +294,15 @@ def attention(
         # rotation or non-kernel backends rotate here with XLA ops.
         fused = False
         if use_flash and cos.shape[-1] == q.shape[-1]:
-            from f5_tts_tpu.ops.flash_attention import flash_supported
-
-            fused = flash_supported(q)
+            # mirror ops/attention.py: a failed pallas import degrades to the
+            # XLA path instead of raising (flash_attention imports
+            # jax.experimental.pallas at module level)
+            try:
+                from f5_tts_tpu.ops.flash_attention import flash_supported
+            except ImportError:
+                fused = False
+            else:
+                fused = flash_supported(q)
         if fused:
             rope = (cos[-n:, :], sin[-n:, :])
         else:

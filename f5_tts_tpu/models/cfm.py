@@ -167,39 +167,33 @@ def cfm_sample_mel(
     jax.jit,
     static_argnames=(
         "dit_cfg",
-        "padded_len",
-        "max_dur",
         "method",
         "cfg_strength",
         "return_trajectory",
         "shared_noise",
-        "mel_fn",
         "vocoder_fn",
     ),
 )
 def cfm_sample_e2e(
     params: Params,
     dit_cfg: DiTConfig,
-    cond: jax.Array,  # [b, nc, d] mel, or [1, nw] raw wave when mel_fn is set
+    cond: jax.Array,  # [b, padded_len, d] mel, pre-padded to the bucket
     lens: jax.Array,  # [b] i32 reference lengths in frames
     duration: jax.Array,  # [b] i32 total durations in frames
+    max_dur: jax.Array,  # scalar i32 = duration.max() (DYNAMIC; see below)
     text: jax.Array,  # [b, padded_len] int ids padded with -1
     ts: jax.Array,  # [steps] sway-warped time grid
     y0: jax.Array | None,  # [b, n, d] noise override, or None to draw from seed
     seed: jax.Array,  # scalar int; ignored when y0 is given
     *,
-    padded_len: int,
-    max_dur: int,
     method: str,
     cfg_strength: float,
     return_trajectory: bool,
     shared_noise: bool,
-    mel_fn=None,
     vocoder_fn=None,
 ):
-    """The whole serving pipeline in ONE jit: reference mel (optional) ->
-    masks/conditioning prep -> ODE integration -> composite with the
-    reference -> vocoder (optional).
+    """The whole serving pipeline in ONE jit: masks/conditioning prep -> ODE
+    integration -> composite with the reference -> vocoder (optional).
 
     Functionally identical to the step-by-step path `sample()` uses for
     segmented-CFG runs (same helpers, same trim-before-vocoder semantics);
@@ -208,15 +202,20 @@ def cfm_sample_e2e(
     round trip costs ~30 ms on the axon tunnel, docs/PERFORMANCE.md) and lets
     XLA overlap the prep elementwise work with weight prefetch.
 
-    `max_dur` is static: the jit cache gets one entry per (bucketed) shape
-    pair, exactly the granularity the step-by-step path's vocoder call
-    already had. Returns (mel_out [b, max_dur, d], trajectory, wave|None).
+    Every shape the jit keys on is bucketed: `cond`/`text` arrive pre-padded
+    to the duration bucket, and the true max duration is the DYNAMIC scalar
+    `max_dur`, so predictor-resolved durations (arbitrary ints) all hit the
+    same per-bucket executable instead of recompiling the pipeline per
+    distinct duration. The mel is zeroed past `max_dur` and the vocoder runs
+    at the bucket length with `valid_frames=max_dur`, which reproduces the
+    trimmed-mel decode exactly (envelope-masked ISTFT, audio/istft.py);
+    callers trim the returned full-bucket mel/wave host-side.
+
+    Returns (mel_out [b, padded_len, d] zeroed past max_dur, trajectory,
+    wave [b, (padded_len - 1) * hop] | None).
     """
-    if cond.ndim == 2:
-        cond = mel_fn(cond.reshape(-1))  # [1, nc, d]
     cond = cond.astype(jnp.float32)
-    b, nc, d = cond.shape
-    cond = jnp.pad(cond, ((0, 0), (0, padded_len - nc), (0, 0)))
+    b, padded_len, d = cond.shape
     cond_mask = lens_to_mask(lens, padded_len)[..., None]
     step_cond = jnp.where(cond_mask, cond, jnp.zeros_like(cond))
     dur_mask = lens_to_mask(duration, padded_len)
@@ -247,9 +246,10 @@ def cfm_sample_e2e(
         has_mask=True,
         return_trajectory=return_trajectory,
     )
-    out = jnp.where(cond_mask, cond, trajectory[-1])[:, :max_dur]
-    trajectory = trajectory[:, :, :max_dur]
-    wave = vocoder_fn(out) if vocoder_fn is not None else None
+    frame_valid = (jnp.arange(padded_len) < max_dur)[None, :, None]
+    out = jnp.where(cond_mask, cond, trajectory[-1])
+    out = jnp.where(frame_valid, out, jnp.zeros_like(out))
+    wave = vocoder_fn(out, valid_frames=max_dur) if vocoder_fn is not None else None
     return out, trajectory, wave
 
 
@@ -453,6 +453,24 @@ class F5TTS:
             self._cast_cache = (self.params, cast_fn(self.params))
         return self._cast_cache[1]
 
+    def _fused_vocoder(self):
+        """The vocoder callable for the fused sampling jit, or None.
+
+        The fused pipeline vocodes at the bucket length and needs the
+        vocoder's `valid_frames` masking (models/vocos.py) for the result to
+        match a trimmed-mel decode; a callable without that parameter is
+        decoded outside the jit instead."""
+        if self._vocoder is None:
+            return None
+        import inspect
+
+        try:
+            if "valid_frames" in inspect.signature(self._vocoder).parameters:
+                return self._vocoder
+        except (TypeError, ValueError):
+            pass
+        return None
+
     def _prepare_mel(self, inp: jax.Array) -> jax.Array:
         """Raw wave [b, nw] -> mel [b, n, d]; mel passes through.
 
@@ -602,7 +620,21 @@ class F5TTS:
         ts_np = sway_time_grid(steps, sway_sampling_coef)
 
         if cfg_interval is None or len(ts_np) < 2:
-            # the hot serving path: prep + ODE + composite + vocoder in ONE jit
+            # the hot serving path: prep + ODE + composite + vocoder in ONE
+            # jit whose cache is keyed only on the duration BUCKET — the true
+            # max duration is passed as a dynamic scalar, so predictor-
+            # resolved durations (arbitrary ints) never trigger a pipeline
+            # recompile (~1 min/shape on a cold chip)
+            if is_wave:
+                # the reference mel runs in its own small jit (keyed per
+                # ref-clip length — a seconds-scale compile, vs the full
+                # pipeline's); everything downstream sees bucketed shapes
+                cond = self._mel_spec(cond.reshape(-1))
+            cond = cond.astype(jnp.float32)
+            if cond.shape[1] < padded_len:
+                cond = jnp.pad(cond, ((0, 0), (0, padded_len - cond.shape[1]), (0, 0)))
+            else:
+                cond = cond[:, :padded_len]
             seed_val = int(seed) if seed is not None else np.random.randint(0, 2**31 - 1)
             out, trajectory, wave = cfm_sample_e2e(
                 self._inference_params(),
@@ -610,19 +642,27 @@ class F5TTS:
                 cond,
                 jnp.asarray(lens_np),
                 jnp.asarray(duration),
+                jnp.int32(max_dur),
                 jnp.asarray(text_ids),
                 jnp.asarray(ts_np),
                 None if y0 is None else jnp.asarray(y0),
                 jnp.int32(seed_val),
-                padded_len=padded_len,
-                max_dur=max_dur,
                 method=method,
                 cfg_strength=float(cfg_strength),
                 return_trajectory=return_trajectory,
                 shared_noise=seed is not None,
-                mel_fn=self._mel_spec if is_wave else None,
-                vocoder_fn=self._vocoder,
+                vocoder_fn=self._fused_vocoder(),
             )
+            out = out[:, :max_dur]
+            trajectory = trajectory[:, :, :max_dur]
+            if wave is not None:
+                wave = wave[:, : (max_dur - 1) * self.audio_cfg.hop_length]
+            elif self._vocoder is not None:
+                # vocoder callable without valid_frames support: decode the
+                # trimmed mel outside the fused jit (one extra dispatch; its
+                # compile is keyed per max_dur, but only this legacy path
+                # pays it — the in-repo Vocos always fuses)
+                wave = self._vocoder(out)
             if wave is not None:
                 if batch == 1:
                     wave = wave.reshape(-1)

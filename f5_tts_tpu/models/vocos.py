@@ -69,15 +69,36 @@ def init_vocos(key: jax.Array, cfg: VocosConfig = VocosConfig()) -> Params:
 
 
 @partial(jax.jit, static_argnames=("cfg",))
-def vocos_decode(params: Params, cfg: VocosConfig, mel: jax.Array) -> jax.Array:
-    """mel [b, n, n_mels] -> waveform [b, (n - 1) * hop_length]."""
+def vocos_decode(
+    params: Params, cfg: VocosConfig, mel: jax.Array, valid_frames: jax.Array | None = None
+) -> jax.Array:
+    """mel [b, n, n_mels] -> waveform [b, (n - 1) * hop_length].
+
+    With `valid_frames` (a traced scalar), a mel whose frames past it are
+    zero decodes — over the first (valid_frames - 1) * hop samples — exactly
+    as the trimmed mel[:, :valid_frames] would: the backbone convs see the
+    same zeros SAME-padding would supply, and the ISTFT masks invalid frames
+    out of both the overlap-add and the envelope (audio/istft.py)."""
     dtype = jnp.dtype(cfg.compute_dtype)
     x = mel.astype(dtype)
 
+    # re-zero invalid positions at every conv boundary: a zero mel row does
+    # NOT stay zero through biased blocks, and the next dwconv would leak the
+    # tail into valid frames within its receptive field — masking here makes
+    # each conv see exactly the zeros SAME padding supplies in the trimmed
+    # computation
+    vmask = None
+    if valid_frames is not None:
+        vmask = (jnp.arange(x.shape[1]) < valid_frames)[None, :, None].astype(dtype)
+
     x = conv1d(params["embed"], x, padding=3)
+    if vmask is not None:
+        x = x * vmask
     x = layer_norm(x, params["norm"], eps=1e-6)
     for block_p in params["convnext"]:
         x = vocos_convnext_block(block_p, x)
+        if vmask is not None:
+            x = x * vmask
     x = layer_norm(x, params["final_layer_norm"], eps=1e-6)
 
     x = linear(params["head"], x).astype(jnp.float32)  # [b, n, n_fft + 2]
@@ -87,7 +108,7 @@ def vocos_decode(params: Params, cfg: VocosConfig, mel: jax.Array) -> jax.Array:
     spec = mag * (jnp.cos(phase) + 1j * jnp.sin(phase))
 
     window = jnp.asarray(hanning_periodic(cfg.n_fft))
-    return istft(spec, window, cfg.n_fft, cfg.hop_length)
+    return istft(spec, window, cfg.n_fft, cfg.hop_length, valid_frames=valid_frames)
 
 
 def hanning_periodic(n: int) -> np.ndarray:
@@ -113,8 +134,8 @@ class Vocos:
 
         return load_vocos_pretrained(repo_id)
 
-    def decode(self, mel: jax.Array) -> jax.Array:
-        return vocos_decode(self.params, self.cfg, mel)
+    def decode(self, mel: jax.Array, valid_frames: jax.Array | None = None) -> jax.Array:
+        return vocos_decode(self.params, self.cfg, mel, valid_frames=valid_frames)
 
-    def __call__(self, mel: jax.Array) -> jax.Array:
-        return self.decode(mel)
+    def __call__(self, mel: jax.Array, valid_frames: jax.Array | None = None) -> jax.Array:
+        return self.decode(mel, valid_frames=valid_frames)

@@ -128,7 +128,8 @@ def conv1d(
     contraction on the MXU, accumulated in float32."""
     kernel = p["kernel"].astype(x.dtype)
     ks, in_pg, d_out = kernel.shape
-    if groups > 1 and in_pg > 1 and dilation == 1 and TAPSUM_GROUPED_CONV:
+    known_padding = isinstance(padding, int) or padding in ("SAME", "VALID")
+    if groups > 1 and in_pg > 1 and dilation == 1 and TAPSUM_GROUPED_CONV and known_padding:
         return _grouped_conv_tapsum(kernel, p.get("bias"), x, groups, padding)
     if isinstance(padding, int):
         padding = [(padding, padding)]
@@ -157,6 +158,8 @@ def _grouped_conv_tapsum(
     if padding == "SAME":
         lo = (ks - 1) // 2
         hi = ks - 1 - lo
+    elif padding == "VALID":
+        lo = hi = 0
     else:
         lo = hi = int(padding)
     y = _grouped_conv(x, kernel, groups, lo, hi)

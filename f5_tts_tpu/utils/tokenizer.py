@@ -103,10 +103,15 @@ def convert_char_to_pinyin(text_list: list[str], polyphone: bool = True) -> list
 def _is_han(c: str) -> bool:
     o = ord(c)
     return (
-        0x3400 <= o <= 0x9FFF       # CJK Unified + Ext-A
+        # CJK Unified + Ext-A, minus the Yijing hexagram symbols embedded in
+        # the range (U+4DC0-U+4DFF are not Han; they must pass through
+        # without requiring pypinyin)
+        (0x3400 <= o <= 0x9FFF and not 0x4DC0 <= o <= 0x4DFF)
         or o in (0x3005, 0x3007)    # iteration mark, ideographic zero
         or 0xF900 <= o <= 0xFAFF    # compatibility ideographs
-        or 0x20000 <= o <= 0x3FFFD  # Ext-B..H + compat supplement
+        # assigned supplementary blocks only (Ext-B..H + compat supplement,
+        # ending at Ext-H U+323AF); the planes beyond are unassigned
+        or 0x20000 <= o <= 0x323AF
     )
 
 

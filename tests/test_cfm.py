@@ -135,3 +135,30 @@ def test_bucketing_invariance(model):
     )
     o2, _ = model2.sample(cond, ["ab"], duration=40, steps=2, method="euler", seed=3)
     np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=1e-4, rtol=1e-4)
+
+
+def test_no_recompile_within_bucket(model):
+    """Distinct (predictor-style arbitrary) durations inside one bucket must
+    hit the SAME compiled pipeline: max_dur is a dynamic scalar, not a jit
+    cache key. Guards against the serving regression where every duration
+    paid a full pipeline compile."""
+    from f5_tts_tpu.models.cfm import cfm_sample_e2e
+
+    cond = jax.random.normal(jax.random.key(10), (1, 16, 100))
+    model.sample(cond, ["ab"], duration=40, steps=2, method="euler", seed=0)
+    n_before = cfm_sample_e2e._cache_size()
+    for dur in (41, 47, 53, 60):  # same 32-frame bucket range (33..64)
+        out, _ = model.sample(cond, ["ab"], duration=dur, steps=2, method="euler", seed=0)
+        assert out.shape[1] == dur
+    assert cfm_sample_e2e._cache_size() == n_before
+
+
+def test_fused_path_duration_independence(model):
+    """A batch item's output must not depend on ANOTHER item's duration
+    raising max_dur (the dynamic tail mask only zeroes past max_dur)."""
+    cond = jax.random.normal(jax.random.key(11), (2, 16, 100))
+    both, _ = model.sample(
+        cond, ["ab", "ba"], duration=np.array([40, 60]), steps=2, method="euler", seed=2
+    )
+    solo, _ = model.sample(cond[:1], ["ab"], duration=40, steps=2, method="euler", seed=2)
+    np.testing.assert_allclose(np.asarray(both[0, :40]), np.asarray(solo[0]), atol=1e-5, rtol=1e-5)

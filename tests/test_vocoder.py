@@ -78,3 +78,36 @@ def test_vocos_jit_cache():
     v.decode(mel + 1)
     v.decode(mel * 2)
     assert vocos_decode._cache_size() == n0
+
+
+def test_istft_valid_frames_matches_trimmed():
+    """istft(padded spec, valid_frames=k) == istft(spec[:, :k]) over the
+    first (k-1)*hop samples — the invariant the fused bucket-length vocoder
+    path relies on (models/cfm.cfm_sample_e2e)."""
+    rng = np.random.default_rng(3)
+    frames, k = 24, 17
+    spec = jnp.asarray(
+        rng.standard_normal((2, frames, 513)) + 1j * rng.standard_normal((2, frames, 513))
+    )
+    window = jnp.asarray(hanning(1024))
+    full = istft(spec, window, 1024, 256, valid_frames=jnp.int32(k))
+    trimmed = istft(spec[:, :k], window, 1024, 256)
+    np.testing.assert_allclose(
+        np.asarray(full)[:, : (k - 1) * 256], np.asarray(trimmed), atol=1e-10
+    )
+
+
+def test_vocos_valid_frames_matches_trimmed_decode():
+    """Bucket-padded decode with valid_frames reproduces the trimmed decode
+    exactly: zero-padding past k matches SAME conv padding, and the ISTFT
+    envelope is masked."""
+    voc = Vocos.init(jax.random.key(2), TINY)
+    rng = np.random.default_rng(1)
+    k, padded = 19, 32
+    mel = rng.standard_normal((2, padded, 100)).astype(np.float32)
+    mel[:, k:] = 0.0
+    full = voc.decode(jnp.asarray(mel), valid_frames=jnp.int32(k))
+    trimmed = voc.decode(jnp.asarray(mel[:, :k]))
+    np.testing.assert_allclose(
+        np.asarray(full)[:, : (k - 1) * 256], np.asarray(trimmed), atol=1e-6, rtol=1e-5
+    )
