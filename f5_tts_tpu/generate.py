@@ -24,6 +24,10 @@ import numpy as np
 from f5_tts_tpu.audio.io import read_wav, write_wav
 from f5_tts_tpu.utils.tokenizer import convert_char_to_pinyin
 
+# Defaults for MODEL-FREE helpers only (estimated_duration parity with the
+# reference's hardcoded constants, generate.py:21-24). Anything with a model
+# in hand derives these from model.audio_cfg — a snapshot with a non-default
+# AudioConfig must trim/convert correctly (see config.py).
 SAMPLE_RATE = 24_000
 HOP_LENGTH = 256
 FRAMES_PER_SEC = SAMPLE_RATE / HOP_LENGTH
@@ -43,15 +47,25 @@ def split_sentences(text: str) -> list[str]:
     return [s.strip() for s in sentences if s.strip()]
 
 
-def estimated_duration(ref_audio: np.ndarray, ref_text: str, gen_text: str, speed: float = 1.0) -> float:
+def estimated_duration(
+    ref_audio: np.ndarray,
+    ref_text: str,
+    gen_text: str,
+    speed: float = 1.0,
+    *,
+    hop_length: int = HOP_LENGTH,
+    frames_per_second: float = FRAMES_PER_SEC,
+) -> float:
     """Byte-length-ratio duration heuristic with ZH pause-punct weighting
-    (reference: generate.py:104-111). Returns seconds."""
-    ref_audio_len = ref_audio.shape[0] // HOP_LENGTH
+    (reference: generate.py:104-111). Returns seconds. The defaults match the
+    reference's constants; model-aware callers pass their AudioConfig's
+    hop/frame-rate."""
+    ref_audio_len = ref_audio.shape[0] // hop_length
     zh_pause_punc = r"。，、；：？！"
     ref_text_len = len(ref_text.encode("utf-8")) + 3 * len(re.findall(zh_pause_punc, ref_text))
     gen_text_len = len(gen_text.encode("utf-8")) + 3 * len(re.findall(zh_pause_punc, gen_text))
     duration_in_frames = ref_audio_len + int(ref_audio_len / ref_text_len * gen_text_len / speed)
-    return duration_in_frames / FRAMES_PER_SEC
+    return duration_in_frames / frames_per_second
 
 
 # ------------------------------------------------------------------ playback
@@ -122,16 +136,27 @@ class AudioPlayer:
 # ------------------------------------------------------------------ generation
 
 
-def _load_ref_audio(ref_audio_path: Optional[str], ref_audio_text: Optional[str]):
+def _load_ref_audio(
+    ref_audio_path: Optional[str],
+    ref_audio_text: Optional[str],
+    sample_rate: int = SAMPLE_RATE,
+):
     if ref_audio_path is None:
         wav_path = resources.files("f5_tts_tpu").joinpath("assets/test_en_1_ref_short.wav")
         with resources.as_file(wav_path) as p:
             audio, sr = read_wav(p)
+        if sr != sample_rate:
+            raise ValueError(
+                f"the bundled reference clip is {sr} Hz but the model expects "
+                f"{sample_rate} Hz; pass --ref-audio matching the model's sample rate"
+            )
         ref_audio_text = ref_audio_text or DEFAULT_REF_TEXT
     else:
         audio, sr = read_wav(ref_audio_path)
-        if sr != SAMPLE_RATE:
-            raise ValueError("Reference audio must have a sample rate of 24kHz")
+        if sr != sample_rate:
+            raise ValueError(
+                f"Reference audio must have a sample rate of {sample_rate} Hz"
+            )
     if audio.ndim > 1:
         audio = audio.mean(axis=-1)
     return audio.astype(np.float32), ref_audio_text
@@ -163,20 +188,25 @@ def generate(
 
     from f5_tts_tpu.models.cfm import F5TTS
 
+    if model is None:
+        model = F5TTS.from_pretrained(model_name, quantization_bits=quantization_bits)
+    # all sample-rate/hop arithmetic follows the loaded model's AudioConfig
+    # (a non-default snapshot must trim and convert correctly)
+    sr = model.audio_cfg.sample_rate
+    hop = model.audio_cfg.hop_length
+    fps = model.audio_cfg.frames_per_second
+
     if play is None:
         play = output_path is None
     player = None
     if play:
         try:
-            player = AudioPlayer(sample_rate=SAMPLE_RATE)
+            player = AudioPlayer(sample_rate=sr)
         except (ImportError, OSError) as e:
             print(f"live playback unavailable ({e}); synthesizing without it")
 
-    if model is None:
-        model = F5TTS.from_pretrained(model_name, quantization_bits=quantization_bits)
-
-    audio, ref_audio_text = _load_ref_audio(ref_audio_path, ref_audio_text)
-    ref_audio_duration = audio.shape[0] / SAMPLE_RATE
+    audio, ref_audio_text = _load_ref_audio(ref_audio_path, ref_audio_text, sample_rate=sr)
+    ref_audio_duration = audio.shape[0] / sr
     print(f"Got reference audio with duration: {ref_audio_duration:.2f} seconds")
 
     rms = float(np.sqrt(np.mean(np.square(audio))))
@@ -207,10 +237,11 @@ def generate(
     if is_single:
         dur_frames = None
         if duration is not None:
-            dur_frames = int(duration * FRAMES_PER_SEC)
+            dur_frames = int(duration * fps)
         elif estimate_duration:
             dur_frames = int(
-                estimated_duration(audio, ref_audio_text, generation_text, speed) * FRAMES_PER_SEC
+                estimated_duration(audio, ref_audio_text, generation_text, speed,
+                                   hop_length=hop, frames_per_second=fps) * fps
             )
         wave = synth_one(generation_text, dur_frames)
         if player is not None:
@@ -222,7 +253,8 @@ def generate(
             dur_frames = None
             if estimate_duration:
                 dur_frames = int(
-                    estimated_duration(audio, ref_audio_text, sentence, speed) * FRAMES_PER_SEC
+                    estimated_duration(audio, ref_audio_text, sentence, speed,
+                                       hop_length=hop, frames_per_second=fps) * fps
                 )
             piece = synth_one(sentence, dur_frames)
             out.append(piece)
@@ -239,7 +271,8 @@ def generate(
         if estimate_duration or model._duration_predictor is None:
             durations = np.array(
                 [
-                    int(estimated_duration(audio, ref_audio_text, s, speed) * FRAMES_PER_SEC)
+                    int(estimated_duration(audio, ref_audio_text, s, speed,
+                                           hop_length=hop, frames_per_second=fps) * fps)
                     for s in sentences
                 ],
                 dtype=np.int32,
@@ -283,15 +316,15 @@ def generate(
             if waves.ndim == 1:
                 waves = waves[None, :]
             for j, i in enumerate(idxs):
-                end = min((int(durations[i]) - 1) * HOP_LENGTH, waves.shape[1])
-                pieces[i] = waves[j, ref_frames * HOP_LENGTH : end]
+                end = min((int(durations[i]) - 1) * hop, waves.shape[1])
+                pieces[i] = waves[j, ref_frames * hop : end]
         wave = np.concatenate(pieces, axis=0)
 
-    generated_duration = wave.shape[0] / SAMPLE_RATE
+    generated_duration = wave.shape[0] / sr
     print(f"Generated {generated_duration:.2f}s of audio in {datetime.datetime.now() - start_date}.")
 
     if output_path is not None:
-        write_wav(output_path, wave, SAMPLE_RATE)
+        write_wav(output_path, wave, sr)
     if player is not None:
         player.stop()
     return wave

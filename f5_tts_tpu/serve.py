@@ -49,8 +49,6 @@ import numpy as np
 
 from f5_tts_tpu.generate import (
     DEFAULT_REF_TEXT,
-    FRAMES_PER_SEC,
-    SAMPLE_RATE,
     TARGET_RMS,
     _load_ref_audio,
     estimated_duration,
@@ -212,11 +210,16 @@ class MicroBatcher(threading.Thread):
         if self.model._duration_predictor is None:
             # loader configured without a predictor: fall back to the CLI's
             # byte-length heuristic rather than failing the request
+            acfg = self.model.audio_cfg
             for r in reqs:
                 try:
                     r.duration_frames = int(
-                        estimated_duration(r.ref_audio, r.ref_text, r.text, r.speed)
-                        * FRAMES_PER_SEC
+                        estimated_duration(
+                            r.ref_audio, r.ref_text, r.text, r.speed,
+                            hop_length=acfg.hop_length,
+                            frames_per_second=acfg.frames_per_second,
+                        )
+                        * acfg.frames_per_second
                     )
                 except Exception as e:
                     r.future.set_exception(e)
@@ -327,6 +330,10 @@ def _wav_stream_header(sample_rate: int) -> bytes:
 
 
 def make_handler(batcher: MicroBatcher, default_ref: tuple[np.ndarray, str]):
+    # audio-domain arithmetic (sample-rate checks, WAV headers, seconds ->
+    # frames) follows the SERVED MODEL's AudioConfig, not module constants
+    acfg = batcher.model.audio_cfg
+
     class Handler(BaseHTTPRequestHandler):
         # HTTP/1.1 so /synthesize_stream may use chunked transfer encoding;
         # every non-stream response carries an explicit Content-Length.
@@ -379,8 +386,9 @@ def make_handler(batcher: MicroBatcher, default_ref: tuple[np.ndarray, str]):
                     f.write(raw)
                     f.flush()
                     ref_audio, sr = read_wav(f.name)
-                if sr != SAMPLE_RATE:
-                    self._json_error(400, "reference audio must be 24kHz")
+                if sr != acfg.sample_rate:
+                    self._json_error(
+                        400, f"reference audio must be {acfg.sample_rate} Hz")
                     return None
                 if ref_audio.ndim > 1:
                     ref_audio = ref_audio.mean(axis=-1)
@@ -389,6 +397,11 @@ def make_handler(batcher: MicroBatcher, default_ref: tuple[np.ndarray, str]):
                     self._json_error(400, "ref_text required with ref_audio_b64")
                     return None
             else:
+                if default_ref is None:
+                    self._json_error(
+                        400, "no default reference at the model's sample "
+                        "rate; pass ref_audio_b64")
+                    return None
                 ref_audio, ref_text = default_ref
                 ref_text = payload.get("ref_text", ref_text)
             if not ref_text:
@@ -432,11 +445,14 @@ def make_handler(batcher: MicroBatcher, default_ref: tuple[np.ndarray, str]):
             the heuristic scales only the generated portion
             (reference generate.py:104-111)."""
             if payload.get("duration") is not None:
-                return int(float(payload["duration"]) * FRAMES_PER_SEC)
+                return int(float(payload["duration"]) * acfg.frames_per_second)
             if payload.get("estimate_duration"):
                 return int(
                     estimated_duration(ref_audio, ref_text, text,
-                                       float(payload.get("speed", 1.0))) * FRAMES_PER_SEC
+                                       float(payload.get("speed", 1.0)),
+                                       hop_length=acfg.hop_length,
+                                       frames_per_second=acfg.frames_per_second)
+                    * acfg.frames_per_second
                 )
             return None
 
@@ -468,7 +484,7 @@ def make_handler(batcher: MicroBatcher, default_ref: tuple[np.ndarray, str]):
                     return
 
                 samples = batcher.submit(req).result(timeout=600)
-                body = _wav_bytes(samples, SAMPLE_RATE)
+                body = _wav_bytes(samples, acfg.sample_rate)
                 self.send_response(200)
                 self.send_header("Content-Type", "audio/wav")
                 self.send_header("Content-Length", str(len(body)))
@@ -524,7 +540,7 @@ def make_handler(batcher: MicroBatcher, default_ref: tuple[np.ndarray, str]):
             self.send_header("Content-Type", "audio/wav")
             self.send_header("Transfer-Encoding", "chunked")
             self.end_headers()
-            self._write_chunk(_wav_stream_header(SAMPLE_RATE))
+            self._write_chunk(_wav_stream_header(acfg.sample_rate))
             try:
                 for fut in futures:
                     pcm = _pcm16(fut.result(timeout=600))
@@ -599,7 +615,13 @@ def serve(model, host: str = "0.0.0.0", port: int = 8930,
           max_batch: int = 8, max_wait_ms: float = 50.0) -> ThreadingHTTPServer:
     """Start the batching server (returns the running HTTPServer; call
     .shutdown() to stop)."""
-    default_ref = _load_ref_audio(None, DEFAULT_REF_TEXT)
+    try:
+        default_ref = _load_ref_audio(None, DEFAULT_REF_TEXT,
+                                      sample_rate=model.audio_cfg.sample_rate)
+    except ValueError as e:
+        # non-24kHz model: the bundled clip can't serve as the default
+        print(f"warning: {e}; requests must supply ref_audio_b64")
+        default_ref = None
     batcher = MicroBatcher(model, max_batch=max_batch, max_wait_ms=max_wait_ms)
     batcher.start()
     httpd = ThreadingHTTPServer((host, port), make_handler(batcher, default_ref))

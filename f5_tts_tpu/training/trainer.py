@@ -33,10 +33,9 @@ from f5_tts_tpu.models.cfm import F5TTS, cfm_loss
 from f5_tts_tpu.models.convert import convert_dit_state, export_dit_state, to_mlx_model_naming
 from f5_tts_tpu.utils.modules import Params
 
+# RMS floor for probe-sample reference audio (reference: trainer.py:45);
+# sample-rate/hop arithmetic derives from the model's AudioConfig.
 TARGET_RMS = 0.1
-SAMPLE_RATE = 24_000
-HOP_LENGTH = 256
-FRAMES_PER_SEC = SAMPLE_RATE / HOP_LENGTH
 
 
 def make_lr_schedule(
@@ -158,7 +157,7 @@ class F5TTSTrainer:
         model: F5TTS,
         num_warmup_steps: int = 1000,
         max_grad_norm: float = 1.0,
-        sample_rate: int = 24_000,
+        sample_rate: int | None = None,  # defaults to the model's AudioConfig
         log_with_wandb: bool = False,
         results_dir: str = "results",
         mesh=None,
@@ -168,7 +167,9 @@ class F5TTSTrainer:
         self.model = model
         self.num_warmup_steps = num_warmup_steps
         self.max_grad_norm = max_grad_norm
-        self.mel_spectrogram = MelSpec(sample_rate=sample_rate)
+        self.mel_spectrogram = MelSpec(
+            sample_rate=sample_rate if sample_rate is not None else model.audio_cfg.sample_rate
+        )
         self.log_with_wandb = log_with_wandb
         self.results_dir = Path(results_dir)
         self.mesh = mesh
@@ -292,10 +293,11 @@ class F5TTSTrainer:
         (reference: trainer.py:81-161)."""
         from f5_tts_tpu.audio.io import read_wav, write_wav
 
+        acfg = self.model.audio_cfg
         audio, _ = read_wav(sample_audio)
         if audio.ndim > 1:
             audio = audio.mean(axis=-1)
-        ref_audio_duration = audio.shape[0] / SAMPLE_RATE
+        ref_audio_duration = audio.shape[0] / acfg.sample_rate
         rms = float(np.sqrt(np.mean(np.square(audio))))
         if rms < TARGET_RMS:
             audio = audio * TARGET_RMS / rms
@@ -310,7 +312,9 @@ class F5TTSTrainer:
         wave, trajectories = self.model.sample(
             jnp.asarray(audio)[None, :],
             text=text,
-            duration=int((ref_audio_duration + sample_generation_duration) * FRAMES_PER_SEC),
+            duration=int(
+                (ref_audio_duration + sample_generation_duration) * acfg.frames_per_second
+            ),
             method="rk4",
             steps=8,
             cfg_strength=2.0,
@@ -324,10 +328,12 @@ class F5TTSTrainer:
 
         os.makedirs(f"{samples_dir}/audio", exist_ok=True)
         if self.model._vocoder is not None:
-            write_wav(f"{samples_dir}/audio/step_{step}.wav", wave[audio.shape[0]:], SAMPLE_RATE)
+            write_wav(
+                f"{samples_dir}/audio/step_{step}.wav", wave[audio.shape[0]:], acfg.sample_rate
+            )
 
         self._save_trajectory_gif(
-            np.asarray(trajectories), audio.shape[0] // HOP_LENGTH, step, samples_dir
+            np.asarray(trajectories), audio.shape[0] // acfg.hop_length, step, samples_dir
         )
 
     def _save_trajectory_gif(self, trajectories: np.ndarray, ref_frames: int, step: int, samples_dir: str) -> None:

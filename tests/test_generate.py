@@ -117,7 +117,7 @@ def test_generate_rejects_wrong_sample_rate(tmp_path):
     model = _tiny_model()
     ref_path = tmp_path / "ref16k.wav"
     write_wav(ref_path, np.zeros(16_000, dtype=np.float32), 16_000)
-    with pytest.raises(ValueError, match="24kHz"):
+    with pytest.raises(ValueError, match="24000 Hz"):
         generate("hi", duration=1.0, ref_audio_path=str(ref_path), ref_audio_text="x",
                  model=model, play=False)
 
