@@ -6,18 +6,29 @@ lower is better), measured on the base-config model (335M params, bf16
 compute, batched CFG) with the full text->mel->ODE->vocoder pipeline,
 excluding compilation (warmup run first).
 
+The timed model goes through the FULL checkpoint machinery: the randomly
+initialized base model is written with save_pretrained (the published
+artifact naming, reference: cfm.py:477-508) and reloaded with
+from_pretrained, so conversion, vocab, vocoder wiring, and (with --q) the
+quantized artifacts all execute on hardware — weights are random (RTF is
+FLOP-identical to trained weights), but the load path is the real one.
+
 vs_baseline divides by the reference's published number: ~RTF 0.5 on an Apple
 M3 Max (reference README.md:9, 8 s sample in ~4 s). Target from BASELINE.md:
 RTF <= 0.05 on one TPU v5e chip.
+
+`python bench.py --q 8` measures the int8 weight-quantized model instead
+(metric name gains a `_int8` suffix; not the driver's headline line).
 """
 
 from __future__ import annotations
 
+import argparse
 import json
+import tempfile
 import time
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 BASELINE_RTF = 0.5
@@ -26,29 +37,50 @@ STEPS = 32
 WARMUP_RUNS = 1
 TIMED_RUNS = 3
 
+# contiguous-id vocab (ids 0..95) for the snapshot round-trip; tokenization
+# cost is host-side and negligible either way
+VOCAB_CHARS = [""] + [chr(c) for c in range(ord(" "), ord(" ") + 95)]
 
-def main() -> None:
+
+def build_snapshot_model(snapshot_dir: str, quantization_bits: int | None):
+    """Init base-config model + vocoder, save_pretrained -> from_pretrained."""
     from f5_tts_tpu.config import F5TTS_V1_BASE, CFMConfig, VocosConfig
     from f5_tts_tpu.models.cfm import F5TTS
     from f5_tts_tpu.models.vocos import Vocos
+
+    dit_cfg = F5TTS_V1_BASE.replace(compute_dtype="bfloat16")
+    vocoder = Vocos.init(jax.random.key(1), VocosConfig(compute_dtype="bfloat16"))
+    src = F5TTS.init(
+        jax.random.key(0),
+        dit_cfg,
+        cfm_cfg=CFMConfig(),
+        vocab_char_map={c: i for i, c in enumerate(VOCAB_CHARS)},
+        vocoder=vocoder.decode,
+    )
+    src.save_pretrained(snapshot_dir, quantization_bits=quantization_bits)
+    return F5TTS.from_pretrained(snapshot_dir, quantization_bits=quantization_bits)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--q", type=int, default=None, choices=(4, 8),
+                    help="benchmark the weight-quantized snapshot instead")
+    args = ap.parse_args()
+
     from f5_tts_tpu.utils.profiling import enable_compilation_cache
 
     enable_compilation_cache()
 
-    dit_cfg = F5TTS_V1_BASE.replace(compute_dtype="bfloat16")
-    vocoder = Vocos.init(jax.random.key(1), VocosConfig(compute_dtype="bfloat16"))
-    model = F5TTS.init(
-        jax.random.key(0),
-        dit_cfg,
-        cfm_cfg=CFMConfig(),
-        vocoder=vocoder.decode,
-    )
+    with tempfile.TemporaryDirectory() as snap:
+        model = build_snapshot_model(snap, args.q)
 
     # 2 s reference clip + text; duration = 10 s total at 93.75 fps
     sr = model.audio_cfg.sample_rate
     ref = (0.1 * np.sin(2 * np.pi * 220 * np.arange(2 * sr) / sr)).astype(np.float32)
     text = ["Some call me nature, others call me mother nature. " "This is a benchmark utterance for the flow matching sampler."]
     duration = int(UTTERANCE_SECONDS * model.audio_cfg.frames_per_second)
+
+    import jax.numpy as jnp
 
     def run():
         wave, _ = model.sample(
@@ -80,10 +112,11 @@ def main() -> None:
     audio_seconds = wave.shape[-1] / sr
     rtf = wall / audio_seconds
 
+    suffix = f"_int{args.q}" if args.q else ""
     print(
         json.dumps(
             {
-                "metric": "rtf_10s_utterance_32steps_1chip",
+                "metric": f"rtf_10s_utterance_32steps_1chip{suffix}",
                 "value": round(rtf, 5),
                 "unit": "rtf",
                 "vs_baseline": round(rtf / BASELINE_RTF, 5),

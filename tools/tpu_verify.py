@@ -104,6 +104,40 @@ def main() -> None:
         check(f"int{bits} sampling vs float rel-MAE",
               float(np.abs(mel_q - mel_f).mean()) / scale, 0.5 if bits == 4 else 0.25)
 
+    # -- 4. checkpoint-derived weights on-chip ----------------------------
+    # the conversion chain (save_pretrained -> published naming -> config.json
+    # -> from_pretrained, reference: cfm.py:404-520) executing on hardware:
+    # float must round-trip exactly; int8 checks the quantized-artifact path
+    import tempfile
+
+    from f5_tts_tpu.config import VocosConfig
+    from f5_tts_tpu.models.vocos import Vocos
+
+    vocab = {c: i for i, c in enumerate([""] + [chr(c) for c in range(32, 127)])}
+    voc = Vocos.init(
+        jax.random.key(3),
+        VocosConfig(dim=128, intermediate_dim=256, num_layers=2, compute_dtype="bfloat16"),
+    )
+    src = F5TTS(base_params, small, cfm_cfg=CFMConfig(),
+                vocab_char_map=vocab, vocoder=voc.decode)
+
+    def sample_wave(m):
+        w, _ = m.sample(ref_wave[None, :], ["tpu acceptance drive"], duration=256,
+                        steps=4, method="euler", seed=0, return_trajectory=False)
+        return np.asarray(w, np.float32)
+
+    w_src = sample_wave(src)
+    with tempfile.TemporaryDirectory() as d:
+        src.save_pretrained(d)
+        w_loaded = sample_wave(F5TTS.from_pretrained(d))
+        src.save_pretrained(d, quantization_bits=8)
+        w_q = sample_wave(F5TTS.from_pretrained(d, quantization_bits=8))
+    scale = float(np.abs(w_src).mean())
+    check("save->from_pretrained float wave rel-MAE",
+          float(np.abs(w_loaded - w_src).mean()) / scale, 1e-3)
+    check("save->from_pretrained int8 wave rel-MAE",
+          float(np.abs(w_q - w_src).mean()) / scale, 0.25)
+
     print("ALL PASS" if not FAILURES else f"FAILED: {FAILURES}")
     sys.exit(1 if FAILURES else 0)
 
