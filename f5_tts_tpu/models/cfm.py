@@ -317,12 +317,23 @@ class F5TTS:
         cls,
         hf_model_name_or_path: str = "lucasnewman/f5-tts-mlx",
         quantization_bits: int | None = None,
+        revision: str | None = None,
+        expected_sha256: dict[str, str] | None = None,
     ) -> "F5TTS":
         """Load converted pretrained weights from HuggingFace
-        (reference: cfm.py:404-520). See models/convert.py for the mapping."""
+        (reference: cfm.py:404-520). See models/convert.py for the mapping.
+
+        `revision` pins the Hub ref; `expected_sha256` (relative filename ->
+        digest) fails loudly if the snapshot's artifacts drift
+        (utils/hub.verify_artifacts)."""
         from f5_tts_tpu.models.convert import load_f5tts_pretrained
 
-        return load_f5tts_pretrained(hf_model_name_or_path, quantization_bits=quantization_bits)
+        return load_f5tts_pretrained(
+            hf_model_name_or_path,
+            quantization_bits=quantization_bits,
+            revision=revision,
+            expected_sha256=expected_sha256,
+        )
 
     def save_pretrained(self, path, quantization_bits: int | None = None) -> None:
         """Write a snapshot directory loadable by from_pretrained: weights in

@@ -465,6 +465,8 @@ def _load_flat_checkpoint(path: Path) -> dict[str, np.ndarray]:
 def load_f5tts_pretrained(
     hf_model_name_or_path: str = "lucasnewman/f5-tts-mlx",
     quantization_bits: int | None = None,
+    revision: str | None = None,
+    expected_sha256: dict[str, str] | None = None,
 ):
     """Build a ready-to-sample F5TTS from the published checkpoint
     (reference: cfm.py:404-520): vocab, optional duration predictor, vocoder,
@@ -480,7 +482,12 @@ def load_f5tts_pretrained(
     from f5_tts_tpu.models.duration import DurationPredictor
     from f5_tts_tpu.models.vocos import Vocos
 
-    path = fetch_from_hub(hf_model_name_or_path, quantization_bits=quantization_bits)
+    path = fetch_from_hub(
+        hf_model_name_or_path,
+        quantization_bits=quantization_bits,
+        revision=revision,
+        expected_sha256=expected_sha256,
+    )
 
     from f5_tts_tpu.utils.tokenizer import load_vocab
 

@@ -192,3 +192,38 @@ def test_nondefault_audio_config_roundtrips(tmp_path):
     assert loaded.audio_cfg == audio_cfg
     assert loaded.cfm_cfg == cfm_cfg
     assert loaded.dit_cfg == cfg
+
+
+def test_artifact_digest_pinning(tmp_path):
+    """from_pretrained with expected_sha256 fails loudly on drift and passes
+    on the correct digest (utils/hub.verify_artifacts)."""
+    import pytest
+
+    from f5_tts_tpu.models.cfm import F5TTS
+    from f5_tts_tpu.utils.hub import sha256_file
+
+    from f5_tts_tpu.config import VocosConfig
+    from f5_tts_tpu.models.vocos import Vocos
+
+    cfg = DiTConfig(dim=32, depth=1, heads=2, dim_head=16, ff_mult=2, mel_dim=100,
+                    text_num_embeds=16, text_dim=16, conv_layers=1,
+                    use_flash_attention=False)
+    vocab = {"": 0, "a": 1, "b": 2, " ": 3}
+    vocoder = Vocos.init(jax.random.key(1), VocosConfig(dim=32, intermediate_dim=64, num_layers=1))
+    model = F5TTS.init(jax.random.key(0), cfg, vocab_char_map=vocab, vocoder=vocoder.decode)
+    model.save_pretrained(tmp_path)
+
+    good = sha256_file(tmp_path / "model_v1.safetensors")
+    loaded = F5TTS.from_pretrained(
+        str(tmp_path), expected_sha256={"model_v1.safetensors": good}
+    )
+    assert loaded.dit_cfg == cfg
+
+    with pytest.raises(ValueError, match="digest mismatch"):
+        F5TTS.from_pretrained(
+            str(tmp_path), expected_sha256={"model_v1.safetensors": "0" * 64}
+        )
+    with pytest.raises(ValueError, match="missing"):
+        F5TTS.from_pretrained(
+            str(tmp_path), expected_sha256={"nope.safetensors": good}
+        )
