@@ -15,7 +15,56 @@ from __future__ import annotations
 from pathlib import Path
 
 import jax
+import numpy as np
 import orbax.checkpoint as ocp
+
+
+# ------------------------------------------------- safetensors state trees
+
+# The non-orbax trainstate fallback: a pytree (e.g. {"opt_state", "step"})
+# flattened to path-keyed safetensors — version-stable and inspectable,
+# replacing the earlier pickle format (version-fragile, arbitrary-code-on-
+# load). Restore requires a template with the same structure (a freshly
+# initialized state), so renamed/missing leaves fail loudly.
+
+
+def _flat_with_paths(tree) -> dict[str, np.ndarray]:
+    flat = jax.tree_util.tree_flatten_with_path(tree)[0]
+    return {
+        jax.tree_util.keystr(path): np.ascontiguousarray(np.asarray(leaf))
+        for path, leaf in flat
+    }
+
+
+def save_tree_safetensors(path: str | Path, tree) -> None:
+    from safetensors.numpy import save_file
+
+    save_file(_flat_with_paths(tree), Path(path))
+
+
+def load_tree_safetensors(path: str | Path, template):
+    """Load a tree saved by save_tree_safetensors into `template`'s structure
+    (leaf values replaced; a structural mismatch raises KeyError)."""
+    import jax.numpy as jnp
+    from safetensors.numpy import load_file
+
+    flat = load_file(Path(path))
+    paths_leaves, treedef = jax.tree_util.tree_flatten_with_path(template)
+    leaves = []
+    for p, t_leaf in paths_leaves:
+        k = jax.tree_util.keystr(p)
+        if k not in flat:
+            raise KeyError(
+                f"train-state file {path} has no leaf {k}; the optimizer "
+                "configuration changed since it was written"
+            )
+        # safetensors stores 0-d arrays as 1-element vectors; restore the
+        # template's shape (and catch real shape drift loudly)
+        leaf = jnp.asarray(flat[k])
+        if leaf.shape != np.shape(t_leaf):
+            leaf = leaf.reshape(np.shape(t_leaf))
+        leaves.append(leaf)
+    return jax.tree_util.tree_unflatten(treedef, leaves)
 
 
 class TrainCheckpointManager:

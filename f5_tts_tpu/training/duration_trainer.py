@@ -1,8 +1,12 @@
 """Duration predictor trainer (reference: duration_trainer.py:36-171).
 
-Same optimizer/schedule/jit skeleton as the CFM trainer; the loss path is the
-duration model's random-prefix L1 regression. Also fixes the reference's
-broken resume path (the '.saftensors' typo at duration_trainer.py:58)."""
+Same optimizer/schedule/jit skeleton as the CFM trainer, brought to full
+feature parity with it: optional device-mesh sharding, optional EMA, full
+train-state checkpoints (orbax async or safetensors), and crash resume via
+checkpoint="latest". The reference's own resume path is broken (the
+'.saftensors' typo at duration_trainer.py:58) and weights-only (restarting
+the LR schedule); both are fixed here.
+"""
 
 from __future__ import annotations
 
@@ -20,7 +24,12 @@ from f5_tts_tpu.models.duration import DurationPredictor, duration_forward
 from f5_tts_tpu.training.trainer import init_train_state, make_optimizer
 
 
-def make_duration_train_step(cfg, optimizer: optax.GradientTransformation, frames_per_second: float):
+def make_duration_train_step(
+    cfg,
+    optimizer: optax.GradientTransformation,
+    frames_per_second: float,
+    ema_decay: float | None = None,
+):
     def train_step(state, mel, text, lens, key):
         def loss_fn(p):
             return duration_forward(
@@ -31,7 +40,12 @@ def make_duration_train_step(cfg, optimizer: optax.GradientTransformation, frame
         loss, grads = jax.value_and_grad(loss_fn)(state["params"])
         updates, opt_state = optimizer.update(grads, state["opt_state"], state["params"])
         params = optax.apply_updates(state["params"], updates)
-        return {"params": params, "opt_state": opt_state, "step": state["step"] + 1}, loss
+        new_state = {"params": params, "opt_state": opt_state, "step": state["step"] + 1}
+        if ema_decay is not None:
+            new_state["ema"] = jax.tree.map(
+                lambda e, p: ema_decay * e + (1.0 - ema_decay) * p, state["ema"], params
+            )
+        return new_state, loss
 
     return train_step
 
@@ -44,26 +58,53 @@ class DurationTrainer:
         max_grad_norm: float = 1.0,
         log_with_wandb: bool = False,
         results_dir: str = "results",
+        mesh=None,
+        ema_decay: float | None = None,
+        use_orbax: bool = False,
     ):
         self.model = model
         self.num_warmup_steps = num_warmup_steps
         self.max_grad_norm = max_grad_norm
         self.log_with_wandb = log_with_wandb
         self.results_dir = Path(results_dir)
+        self.mesh = mesh
+        self.ema_decay = ema_decay
+        self.use_orbax = use_orbax
+        self.ckpt_mgr = None
         self.state: dict | None = None
 
+    # ------------------------------------------------------------ checkpoint
+
     def save_checkpoint(self, step: int) -> None:
+        """Weights in the reference-loadable duration_v2 convention + full
+        train state (orbax async when enabled, safetensors otherwise)."""
         os.makedirs(self.results_dir, exist_ok=True)
         from safetensors.numpy import save_file
 
-        params = self.state["params"] if self.state else self.model.params
-        flat = {k: np.ascontiguousarray(np.asarray(v))
-                for k, v in export_duration_state(params).items()}
-        # reference-loadable: the MLX model's strict load needs its rotary param
         from f5_tts_tpu.models.convert import rotary_inv_freq
 
-        flat["transformer.rotary_embed.inv_freq"] = rotary_inv_freq(self.model.cfg.dim_head)
-        save_file(flat, self.results_dir / f"duration_{step}.safetensors")
+        def _export(params, path):
+            flat = {k: np.ascontiguousarray(np.asarray(v))
+                    for k, v in export_duration_state(params).items()}
+            # reference-loadable: the MLX model's strict load needs its rotary param
+            flat["transformer.rotary_embed.inv_freq"] = rotary_inv_freq(self.model.cfg.dim_head)
+            save_file(flat, path)
+
+        params = self.state["params"] if self.state else self.model.params
+        _export(params, self.results_dir / f"duration_{step}.safetensors")
+        if self.state is not None and "ema" in self.state:
+            _export(self.state["ema"], self.results_dir / f"duration_{step}.ema.safetensors")
+
+        if self.state is not None:
+            if self.ckpt_mgr is not None:
+                self.ckpt_mgr.save(step, self.state)  # async full-state save
+            else:
+                from f5_tts_tpu.training.checkpoints import save_tree_safetensors
+
+                save_tree_safetensors(
+                    self.results_dir / f"duration_{step}.trainstate.safetensors",
+                    {"opt_state": self.state["opt_state"], "step": self.state["step"]},
+                )
 
     def load_checkpoint(self, step: int) -> None:
         from safetensors.numpy import load_file
@@ -72,6 +113,67 @@ class DurationTrainer:
         self.model.params = convert_duration_state(flat, self.model.cfg)
         if self.state is not None:
             self.state["params"] = self.model.params
+            ema_path = self.results_dir / f"duration_{step}.ema.safetensors"
+            if "ema" in self.state and ema_path.exists():
+                self.state["ema"] = convert_duration_state(load_file(ema_path), self.model.cfg)
+            ts_path = self.results_dir / f"duration_{step}.trainstate.safetensors"
+            if ts_path.exists():
+                from f5_tts_tpu.training.checkpoints import load_tree_safetensors
+
+                restored = load_tree_safetensors(
+                    ts_path,
+                    {"opt_state": self.state["opt_state"], "step": self.state["step"]},
+                )
+                self.state["opt_state"] = restored["opt_state"]
+                self.state["step"] = jnp.asarray(restored["step"], jnp.int32)
+            else:
+                print(
+                    f"WARNING: no train-state file next to step-{step} weights "
+                    f"(duration_{step}.trainstate.safetensors); resuming WEIGHTS-ONLY — "
+                    "optimizer moments and the LR schedule restart from zero "
+                    "(the reference's resume bug, duration_trainer.py:55-60)"
+                )
+
+    def _latest_checkpoint_step(self) -> int | None:
+        """Newest resumable step (crash-resume entry: checkpoint="latest");
+        orbax's committed steps are authoritative when enabled."""
+        if self.ckpt_mgr is not None:
+            latest = self.ckpt_mgr.latest_step()
+            if latest is not None:
+                return int(latest)
+        steps = []
+        for p in self.results_dir.glob("duration_*.safetensors"):
+            stem = p.stem.split(".")[0]  # strip .ema / .trainstate
+            try:
+                steps.append(int(stem.removeprefix("duration_")))
+            except ValueError:
+                continue
+        return max(steps) if steps else None
+
+    def _restore_orbax(self, step: int) -> dict:
+        """Restore the full state; tolerate a changed ema_decay setting by
+        adapting the 'ema' subtree (same policy as the CFM trainer)."""
+        try:
+            return self.ckpt_mgr.restore(step, self.state)
+        except (ValueError, KeyError):
+            has_ema_now = "ema" in self.state
+            alt = dict(self.state)
+            if has_ema_now:
+                alt.pop("ema")
+            else:
+                alt["ema"] = jax.tree.map(lambda x: x, self.state["params"])
+            restored = self.ckpt_mgr.restore(step, alt)
+            if has_ema_now:
+                print("warning: checkpoint has no EMA; re-initializing EMA from params")
+                restored["ema"] = jax.jit(lambda t: jax.tree.map(lambda x: x + 0, t))(
+                    restored["params"]
+                )
+            else:
+                print("warning: checkpoint has EMA but ema_decay is None; dropping it")
+                restored.pop("ema", None)
+            return restored
+
+    # ------------------------------------------------------------ training
 
     def train(
         self,
@@ -80,7 +182,7 @@ class DurationTrainer:
         weight_decay: float = 1e-2,
         total_steps: int = 100_000,
         save_every: int = 10_000,
-        checkpoint: int | None = None,
+        checkpoint: int | str | None = None,  # step number or "latest"
         log_every: int = 10,
         seed: int = 0,
     ) -> None:
@@ -95,16 +197,44 @@ class DurationTrainer:
         optimizer = make_optimizer(
             learning_rate, weight_decay, self.num_warmup_steps, total_steps, self.max_grad_norm
         )
-        self.state = init_train_state(self.model.params, optimizer)
+        self.state = init_train_state(self.model.params, optimizer, ema=self.ema_decay is not None)
+
+        if self.use_orbax:
+            from f5_tts_tpu.training.checkpoints import TrainCheckpointManager
+
+            self.ckpt_mgr = TrainCheckpointManager(self.results_dir / "orbax")
+
+        if checkpoint == "latest":
+            checkpoint = self._latest_checkpoint_step()
+            if checkpoint is None:
+                print("No checkpoint found; starting fresh")
 
         start_step = 0
         if checkpoint is not None:
-            self.load_checkpoint(checkpoint)
+            if self.ckpt_mgr is not None and checkpoint in self.ckpt_mgr.all_steps():
+                self.state = self._restore_orbax(checkpoint)
+                self.model.params = self.state["params"]
+            else:
+                if self.ckpt_mgr is not None:
+                    print(
+                        f"warning: step {checkpoint} not in orbax; resuming "
+                        "from the safetensors files"
+                    )
+                self.load_checkpoint(checkpoint)
             start_step = checkpoint
+            print(f"Starting training at step {start_step}")
 
         fps = self.model.audio_cfg.sample_rate / self.model.audio_cfg.hop_length
-        step_fn = make_duration_train_step(self.model.cfg, optimizer, fps)
-        train_step = jax.jit(step_fn, donate_argnums=(0,))
+        step_fn = make_duration_train_step(
+            self.model.cfg, optimizer, fps, ema_decay=self.ema_decay
+        )
+        if self.mesh is not None:
+            from f5_tts_tpu.parallel.mesh import shard_state, shard_train_step
+
+            train_step = shard_train_step(step_fn, self.mesh, self.state)
+            self.state = shard_state(self.state, self.mesh)
+        else:
+            train_step = jax.jit(step_fn, donate_argnums=(0,))
 
         root_key = jax.random.key(seed)
         global_step = start_step
@@ -114,39 +244,44 @@ class DurationTrainer:
 
         pbar = tqdm(initial=start_step, total=total_steps, unit="step")
 
-        for batch in train_dataset:
-            mel_spec = jnp.asarray(batch["mel_spec"])
-            if mel_spec.ndim == 4:
-                mel_spec = mel_spec[:, 0]
-            mel_lens = jnp.asarray(batch["mel_len"], dtype=jnp.int32).reshape(-1)
-            text = np.asarray(batch["transcript"])
-            if text.ndim == 3:
-                text = text[:, :, 0] if text.shape[-1] == 1 else text[:, 0]
-            text = jnp.asarray(text, dtype=jnp.int32)
+        try:
+            for batch in train_dataset:
+                mel_spec = jnp.asarray(batch["mel_spec"])
+                if mel_spec.ndim == 4:
+                    mel_spec = mel_spec[:, 0]
+                mel_lens = jnp.asarray(batch["mel_len"], dtype=jnp.int32).reshape(-1)
+                text = np.asarray(batch["transcript"])
+                if text.ndim == 3:
+                    text = text[:, :, 0] if text.shape[-1] == 1 else text[:, 0]
+                text = jnp.asarray(text, dtype=jnp.int32)
 
-            key = jax.random.fold_in(root_key, global_step)
-            self.state, loss = train_step(self.state, mel_spec, text, mel_lens, key)
+                key = jax.random.fold_in(root_key, global_step)
+                self.state, loss = train_step(self.state, mel_spec, text, mel_lens, key)
 
-            global_step += 1
-            if global_step % log_every == 0 or global_step == start_step + 1:
-                loss_val = float(loss)
-                if self.log_with_wandb:
-                    import wandb
+                global_step += 1
+                if global_step % log_every == 0 or global_step == start_step + 1:
+                    loss_val = float(loss)
+                    if self.log_with_wandb:
+                        import wandb
 
-                    wandb.log({"loss": loss_val}, step=global_step)
-                pbar.set_postfix({"loss": f"{loss_val:.4f}"})
-            pbar.update(1)
+                        wandb.log({"loss": loss_val}, step=global_step)
+                    pbar.set_postfix({"loss": f"{loss_val:.4f}"})
+                pbar.update(1)
 
-            if global_step % save_every == 0:
-                self.model.params = self.state["params"]
-                self.save_checkpoint(global_step)
-            if global_step >= total_steps:
-                break
+                if global_step % save_every == 0:
+                    self.model.params = self.state["params"]
+                    self.save_checkpoint(global_step)
+                if global_step >= total_steps:
+                    break
+        finally:
+            pbar.close()
+            self.model.params = self.state["params"]
+            if self.ckpt_mgr is not None:
+                # flush pending async writes even on an exception mid-loop
+                self.ckpt_mgr.wait()
+            if self.log_with_wandb:
+                import wandb
 
-        pbar.close()
-        self.model.params = self.state["params"]
-        if self.log_with_wandb:
-            import wandb
+                wandb.finish()
 
-            wandb.finish()
         print(f"Training complete in {datetime.datetime.now() - start_date}")

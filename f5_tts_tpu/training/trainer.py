@@ -233,11 +233,12 @@ class F5TTSTrainer:
             return restored
 
     def _save_train_state(self, step: int) -> None:
-        import pickle
+        from f5_tts_tpu.training.checkpoints import save_tree_safetensors
 
-        opt_flat = jax.tree_util.tree_map(np.asarray, self.state["opt_state"])
-        with open(self.results_dir / f"f5tts_{step}.trainstate.pkl", "wb") as f:
-            pickle.dump({"opt_state": opt_flat, "step": int(self.state["step"])}, f)
+        save_tree_safetensors(
+            self.results_dir / f"f5tts_{step}.trainstate.safetensors",
+            {"opt_state": self.state["opt_state"], "step": self.state["step"]},
+        )
 
     def load_checkpoint(self, step: int) -> None:
         from safetensors.numpy import load_file
@@ -249,14 +250,23 @@ class F5TTSTrainer:
             ema_path = self.results_dir / f"f5tts_{step}.ema.safetensors"
             if "ema" in self.state and ema_path.exists():
                 self.state["ema"] = convert_dit_state(load_file(ema_path), self.model.dit_cfg)
-            ts_path = self.results_dir / f"f5tts_{step}.trainstate.pkl"
+            ts_path = self.results_dir / f"f5tts_{step}.trainstate.safetensors"
             if ts_path.exists():
-                import pickle
+                from f5_tts_tpu.training.checkpoints import load_tree_safetensors
 
-                with open(ts_path, "rb") as f:
-                    saved = pickle.load(f)
-                self.state["opt_state"] = jax.tree_util.tree_map(jnp.asarray, saved["opt_state"])
-                self.state["step"] = jnp.asarray(saved["step"], jnp.int32)
+                restored = load_tree_safetensors(
+                    ts_path,
+                    {"opt_state": self.state["opt_state"], "step": self.state["step"]},
+                )
+                self.state["opt_state"] = restored["opt_state"]
+                self.state["step"] = jnp.asarray(restored["step"], jnp.int32)
+            else:
+                print(
+                    f"WARNING: no train-state file next to step-{step} weights "
+                    f"(f5tts_{step}.trainstate.safetensors); resuming WEIGHTS-ONLY — "
+                    "optimizer moments and the LR schedule restart from zero "
+                    "(the reference's resume bug, trainer.py:67-79)"
+                )
 
     def _latest_checkpoint_step(self) -> int | None:
         """Newest resumable step (crash-resume entry: checkpoint="latest").
