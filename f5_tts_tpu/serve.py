@@ -114,28 +114,47 @@ class MicroBatcher(threading.Thread):
     def run(self):
         import time as _time
 
+        pending: list[_Request] = []
         while not self._stop.is_set():
-            try:
-                first = self.queue.get(timeout=0.1)
-            except queue.Empty:
-                continue
-            batch = [first]
-            deadline = _time.monotonic() + self.max_wait
-            while len(batch) < self.max_batch:
-                timeout = deadline - _time.monotonic()
-                if timeout <= 0:
-                    break
+            if not pending:
                 try:
-                    batch.append(self.queue.get(timeout=timeout))
+                    pending.append(self.queue.get(timeout=0.1))
                 except queue.Empty:
-                    break
-
-            self._process_batch(batch)
+                    continue
+                # gather window: let concurrent arrivals form a batch
+                deadline = _time.monotonic() + self.max_wait
+                while len(pending) < self.max_batch:
+                    timeout = deadline - _time.monotonic()
+                    if timeout <= 0:
+                        break
+                    try:
+                        pending.append(self.queue.get(timeout=timeout))
+                    except queue.Empty:
+                        break
+            pending = self._step(pending, drain=True)
 
     def _process_batch(self, batch: list[_Request]) -> None:
-        """Resolve deferred durations, group, and run each group (the whole
-        post-gather path; factored out of run() for direct testability)."""
-        need_prediction = [r for r in batch if r.duration_frames is None]
+        """Resolve deferred durations, group, and run every group (the whole
+        post-gather path; direct-call entry for tests/warmup — does NOT drain
+        the live queue)."""
+        pending = list(batch)
+        while pending:
+            pending = self._step(pending, drain=False)
+
+    def _step(self, pending: list[_Request], drain: bool) -> list[_Request]:
+        """Run ONE group from `pending` and return what's left.
+
+        Scheduling: resolve deferred durations, group by compatibility, pick
+        the single best group — rank first (someone is waiting on rank-0
+        audio NOW; rank-1 is a stream's backfill), then shortest-job-first —
+        capped at max_batch items, run it, then (with drain=True) pull any
+        requests that arrived DURING the run back into contention. Re-sorting
+        between groups bounds head-of-line blocking: a rank-0 arrival waits
+        for at most the group in flight, never for an entire backfill queue
+        dispatched before it. (Groups still run one at a time — the chip
+        serializes anyway, and this backend requires a single in-flight
+        computation.)"""
+        need_prediction = [r for r in pending if r.duration_frames is None]
         if need_prediction:
             try:
                 self._predict_durations(need_prediction)
@@ -146,24 +165,31 @@ class MicroBatcher(threading.Thread):
             # drop anything unresolved OR already failed (a partially
             # filled batch must not synthesize for a failed future:
             # set_result on it would raise and poison its group-mates)
-            batch = [r for r in batch
-                     if r.duration_frames is not None and not r.future.done()]
+            pending = [r for r in pending
+                       if r.duration_frames is not None and not r.future.done()]
+        if not pending:
+            return pending
 
         bucket = self.model.cfm_cfg.duration_bucket
         groups: dict[tuple, list[_Request]] = {}
-        for r in batch:
+        for r in pending:
             groups.setdefault(r.group_key(bucket), []).append(r)
-        # Rank first (someone is waiting on rank-0 audio NOW; rank-1 is a
-        # stream's backfill), then shortest-job-first: a long big-bucket
-        # group must not head-of-line-block small requests gathered in the
-        # same poll. (Groups still run one at a time — the chip serializes
-        # anyway, and this backend requires a single in-flight
-        # computation.)
-        for key, group in sorted(
+        key, group = min(
             groups.items(),
-            key=lambda kv: (kv[0][6], kv[0][5] * kv[0][0] * len(kv[1])),
-        ):
-            self._run_group(group)
+            key=lambda kv: (kv[0][6], kv[0][5] * kv[0][0] * min(len(kv[1]), self.max_batch)),
+        )
+        group = group[: self.max_batch]
+        self._run_group(group)
+
+        chosen = set(map(id, group))
+        remaining = [r for r in pending if id(r) not in chosen]
+        if drain:
+            while True:
+                try:
+                    remaining.append(self.queue.get_nowait())
+                except queue.Empty:
+                    break
+        return remaining
 
     def _ref_lens(self, reqs: list[_Request]) -> np.ndarray:
         hop = self.model.audio_cfg.hop_length

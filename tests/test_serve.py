@@ -272,3 +272,74 @@ def test_warmup_compiles_predictor_path(server_with_predictor):
 
     warmup(server_with_predictor.batcher.model, [1.0], steps=2, method="euler",
            batcher=None)
+
+
+class _RecordingBatcher:
+    """MicroBatcher with a stubbed _run_group that records dispatch order."""
+
+    def __new__(cls, model, **kw):
+        from f5_tts_tpu.serve import MicroBatcher
+
+        class Rec(MicroBatcher):
+            def __init__(self, model, **kw):
+                super().__init__(model, **kw)
+                self.dispatched = []
+
+            def _run_group(self, group):
+                self.dispatched.append(list(group))
+                for r in group:
+                    if not r.future.done():
+                        r.future.set_result(np.zeros(8, np.float32))
+
+        return Rec(model, **kw)
+
+
+def _mk_req(text, dur_frames, rank=0):
+    from f5_tts_tpu.serve import _Request
+
+    return _Request(text=text, ref_audio=np.zeros(2048, np.float32), ref_text="r",
+                    duration_frames=dur_frames, steps=2, method="euler",
+                    cfg_strength=2.0, sway=-1.0, seed=0, stream_rank=rank)
+
+
+def test_group_size_capped_at_max_batch(server):
+    """A compatible group larger than max_batch runs as multiple dispatches,
+    each within the cap (bounding any single run's latency)."""
+    import f5_tts_tpu.serve as serve_mod
+
+    model = _tiny_model_for_batcher()
+    b = _RecordingBatcher(model, max_batch=3)
+    reqs = [_mk_req(f"t{i}", 100) for i in range(7)]
+    b._process_batch(reqs)
+    sizes = [len(g) for g in b.dispatched]
+    assert sum(sizes) == 7
+    assert max(sizes) <= 3
+
+
+def test_rank0_arrival_preempts_remaining_backfill(server):
+    """A rank-0 request arriving while backfill groups are queued runs after
+    at most the group in flight, not the whole backfill."""
+    model = _tiny_model_for_batcher()
+    b = _RecordingBatcher(model, max_batch=2)
+    backfill = [_mk_req(f"b{i}", 700, rank=1) for i in range(6)]  # 3 dispatches
+
+    pending = list(backfill)
+    pending = b._step(pending, drain=True)  # first backfill group runs
+    late = _mk_req("urgent", 100, rank=0)
+    b.queue.put(late)
+    # arrival during the NEXT step's drain window
+    pending = b._step(pending, drain=True)
+    pending = b._step(pending, drain=True)  # must pick the rank-0 group now
+    while pending:
+        pending = b._step(pending, drain=False)
+    order = [[r.text for r in g] for g in b.dispatched]
+    # urgent waited for at most the in-flight group + the one selected while
+    # it was enqueuing — never for the whole 3-dispatch backfill
+    assert order.index(["urgent"]) <= 2 < len(order) - 1
+
+
+def _tiny_model_for_batcher():
+    cfg = DiTConfig(dim=32, depth=1, heads=2, dim_head=16, ff_mult=2, mel_dim=100,
+                    text_num_embeds=256, text_dim=16, conv_layers=1,
+                    use_flash_attention=False)
+    return F5TTS.init(jax.random.key(0), cfg, cfm_cfg=CFMConfig(duration_bucket=64))
