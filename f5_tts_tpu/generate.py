@@ -180,6 +180,7 @@ def generate(
     model=None,
     play: Optional[bool] = None,
     cfg_interval: Optional[tuple] = None,
+    mesh=None,
 ) -> np.ndarray:
     """End-to-end synthesis (reference: generate.py:113-244). Returns the
     generated waveform (reference audio trimmed off). Pass `model` to reuse a
@@ -190,6 +191,8 @@ def generate(
 
     if model is None:
         model = F5TTS.from_pretrained(model_name, quantization_bits=quantization_bits)
+    if mesh is not None:
+        model.use_mesh(mesh)  # multi-chip sampling (parallel/mesh.py)
     # all sample-rate/hop arithmetic follows the loaded model's AudioConfig
     # (a non-default snapshot must trim and convert correctly)
     sr = model.audio_cfg.sample_rate
@@ -369,6 +372,10 @@ def build_parser() -> argparse.ArgumentParser:
                         help="Number of bits to use for quantization. 4 and 8 are supported.")
     parser.add_argument("--cfg-interval", type=str, default=None,
                         help="Optional accelerator: apply CFG only for flow times in LO,HI (e.g. '0,0.7')")
+    parser.add_argument("--mesh-data", type=int, default=1,
+                        help="Shard batched sampling over N chips (data parallel)")
+    parser.add_argument("--mesh-model", type=int, default=1,
+                        help="Tensor-parallel ways over attention heads / FF hidden")
     return parser
 
 
@@ -384,6 +391,12 @@ def main(argv: list[str] | None = None):
         else:
             print("Please enter the text to generate:")
             args.text = input("> ").strip()
+
+    mesh = None
+    if args.mesh_data > 1 or args.mesh_model > 1:
+        from f5_tts_tpu.parallel.mesh import create_mesh
+
+        mesh = create_mesh(data=args.mesh_data, model=args.mesh_model)
 
     generate(
         generation_text=args.text,
@@ -401,6 +414,7 @@ def main(argv: list[str] | None = None):
         quantization_bits=args.q,
         output_path=args.output,
         cfg_interval=tuple(float(x) for x in args.cfg_interval.split(",")) if args.cfg_interval else None,
+        mesh=mesh,
     )
 
 

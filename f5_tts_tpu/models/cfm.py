@@ -305,6 +305,7 @@ class F5TTS:
         self._vocoder = vocoder
         self._duration_predictor = duration_predictor
         self._cast_cache: tuple | None = None
+        self._mesh = None
 
     # -- construction ------------------------------------------------------
 
@@ -463,6 +464,23 @@ class F5TTS:
             )
             self._cast_cache = (self.params, cast_fn(self.params))
         return self._cast_cache[1]
+
+    def use_mesh(self, mesh) -> "F5TTS":
+        """Turn on mesh-parallel inference (product surface for
+        parallel/mesh.py; SURVEY §2c idiomatic-TPU scale-out — the reference
+        is strictly single-device).
+
+        Params are re-placed with the TP layout (attention heads / FF hidden
+        sharded over the "model" axis, everything else replicated) and every
+        fused `sample()` call DP-shards its batch over the "data" axis,
+        padding the batch up to a multiple of it (padded rows replicate row 0
+        and are trimmed from the outputs). Returns self."""
+        from f5_tts_tpu.parallel.mesh import shard_model_for_inference
+
+        shard_model_for_inference(self, mesh)
+        self._mesh = mesh
+        self._cast_cache = None
+        return self
 
     def _fused_vocoder(self):
         """The vocoder callable for the fused sampling jit, or None.
@@ -647,16 +665,46 @@ class F5TTS:
             else:
                 cond = cond[:, :padded_len]
             seed_val = int(seed) if seed is not None else np.random.randint(0, 2**31 - 1)
+            lens_dev = jnp.asarray(lens_np)
+            dur_dev = jnp.asarray(duration)
+            text_dev = jnp.asarray(text_ids)
+            y0_dev = None if y0 is None else jnp.asarray(y0)
+            if self._mesh is not None:
+                # DP over the mesh's data axis: pad the batch to a multiple of
+                # it (padded rows replicate row 0; trimmed below) and place
+                # batched inputs with the data sharding — jit then partitions
+                # the whole fused pipeline over the mesh
+                from f5_tts_tpu.parallel.mesh import batch_sharding
+
+                dp = self._mesh.shape["data"]
+                pad_b = -batch % dp
+                if pad_b:
+                    def _rep(a):
+                        return jnp.concatenate(
+                            [a, jnp.broadcast_to(a[:1], (pad_b,) + a.shape[1:])]
+                        )
+
+                    cond, lens_dev, dur_dev, text_dev = map(
+                        _rep, (cond, lens_dev, dur_dev, text_dev)
+                    )
+                    if y0_dev is not None:
+                        y0_dev = _rep(y0_dev)
+                sh = batch_sharding(self._mesh)
+                cond, lens_dev, dur_dev, text_dev = (
+                    jax.device_put(a, sh) for a in (cond, lens_dev, dur_dev, text_dev)
+                )
+                if y0_dev is not None:
+                    y0_dev = jax.device_put(y0_dev, sh)
             out, trajectory, wave = cfm_sample_e2e(
                 self._inference_params(),
                 self.dit_cfg,
                 cond,
-                jnp.asarray(lens_np),
-                jnp.asarray(duration),
+                lens_dev,
+                dur_dev,
                 jnp.int32(max_dur),
-                jnp.asarray(text_ids),
+                text_dev,
                 jnp.asarray(ts_np),
-                None if y0 is None else jnp.asarray(y0),
+                y0_dev,
                 jnp.int32(seed_val),
                 method=method,
                 cfg_strength=float(cfg_strength),
@@ -664,6 +712,11 @@ class F5TTS:
                 shared_noise=seed is not None,
                 vocoder_fn=self._fused_vocoder(),
             )
+            if out.shape[0] != batch:  # drop DP padding rows
+                out = out[:batch]
+                trajectory = trajectory[:, :batch]
+                if wave is not None:
+                    wave = wave[:batch]
             out = out[:, :max_dur]
             trajectory = trajectory[:, :, :max_dur]
             if wave is not None:

@@ -666,6 +666,10 @@ def main(argv=None):
     ap.add_argument("--q", type=int, default=None)
     ap.add_argument("--max-batch", type=int, default=8)
     ap.add_argument("--max-wait-ms", type=float, default=50.0)
+    ap.add_argument("--mesh-data", type=int, default=1,
+                    help="shard micro-batch groups over N chips (data parallel)")
+    ap.add_argument("--mesh-model", type=int, default=1,
+                    help="tensor-parallel ways over attention heads / FF hidden")
     ap.add_argument("--warmup", type=str, default=None,
                     help="comma-separated durations (seconds) to pre-compile, e.g. '8,16,30'")
     ap.add_argument("--warmup-steps", type=int, default=8)
@@ -678,6 +682,11 @@ def main(argv=None):
 
     enable_compilation_cache()
     model = F5TTS.from_pretrained(args.model, quantization_bits=args.q)
+    if args.mesh_data > 1 or args.mesh_model > 1:
+        from f5_tts_tpu.parallel.mesh import create_mesh
+
+        model.use_mesh(create_mesh(data=args.mesh_data, model=args.mesh_model))
+        print(f"serving over a {args.mesh_data}x{args.mesh_model} device mesh")
     httpd = serve(model, args.host, args.port, args.max_batch, args.max_wait_ms)
     if args.warmup:
         warmup(model, [float(s) for s in args.warmup.split(",")],
