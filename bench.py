@@ -65,6 +65,8 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--q", type=int, default=None, choices=(4, 8),
                     help="benchmark the weight-quantized snapshot instead")
+    ap.add_argument("--w8a8", action="store_true",
+                    help="benchmark with int8-COMPUTE matmuls (DiTConfig.int8_compute)")
     args = ap.parse_args()
 
     from f5_tts_tpu.utils.profiling import enable_compilation_cache
@@ -73,6 +75,8 @@ def main() -> None:
 
     with tempfile.TemporaryDirectory() as snap:
         model = build_snapshot_model(snap, args.q)
+    if args.w8a8:
+        model.dit_cfg = model.dit_cfg.replace(int8_compute=True)
 
     # 2 s reference clip + text; duration = 10 s total at 93.75 fps
     sr = model.audio_cfg.sample_rate
@@ -113,6 +117,8 @@ def main() -> None:
     rtf = wall / audio_seconds
 
     suffix = f"_int{args.q}" if args.q else ""
+    if args.w8a8:
+        suffix += "_w8a8"
     print(
         json.dumps(
             {

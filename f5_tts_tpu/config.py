@@ -54,6 +54,12 @@ class DiTConfig:
     compute_dtype: str = "float32"
     # Use the Pallas flash-attention kernel when True; jnp fallback otherwise.
     use_flash_attention: bool = True
+    # Opt-in int8-COMPUTE inference (W8A8): the blocks' attention/FF linears
+    # run as symmetric int8 MXU matmuls with dynamic per-token activation
+    # quantization (~2x matmul throughput on v5e; small quantization
+    # distortion — see models/quant.py and docs/PERFORMANCE.md). Training
+    # and the default path are unaffected.
+    int8_compute: bool = False
     # Rematerialize each block in the backward pass (jax.checkpoint): trades
     # ~30% more FLOPs for O(depth) -> O(1) activation memory, enabling much
     # larger training batches per chip.

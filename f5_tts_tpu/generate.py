@@ -177,6 +177,7 @@ def generate(
     seed: Optional[int] = None,
     quantization_bits: Optional[int] = None,
     output_path: Optional[str] = None,
+    int8_compute: bool = False,
     model=None,
     play: Optional[bool] = None,
     cfg_interval: Optional[tuple] = None,
@@ -191,6 +192,8 @@ def generate(
 
     if model is None:
         model = F5TTS.from_pretrained(model_name, quantization_bits=quantization_bits)
+    if int8_compute:
+        model.dit_cfg = model.dit_cfg.replace(int8_compute=True)
     if mesh is not None:
         model.use_mesh(mesh)  # multi-chip sampling (parallel/mesh.py)
     # all sample-rate/hop arithmetic follows the loaded model's AudioConfig
@@ -372,6 +375,8 @@ def build_parser() -> argparse.ArgumentParser:
                         help="Number of bits to use for quantization. 4 and 8 are supported.")
     parser.add_argument("--cfg-interval", type=str, default=None,
                         help="Optional accelerator: apply CFG only for flow times in LO,HI (e.g. '0,0.7')")
+    parser.add_argument("--w8a8", action="store_true", default=False,
+                        help="int8-COMPUTE inference: attention/FF matmuls on the MXU int8 pipe (~8%% faster end-to-end, small quantization distortion)")
     parser.add_argument("--mesh-data", type=int, default=1,
                         help="Shard batched sampling over N chips (data parallel)")
     parser.add_argument("--mesh-model", type=int, default=1,
@@ -413,6 +418,7 @@ def main(argv: list[str] | None = None):
         seed=args.seed,
         quantization_bits=args.q,
         output_path=args.output,
+        int8_compute=args.w8a8,
         cfg_interval=tuple(float(x) for x in args.cfg_interval.split(",")) if args.cfg_interval else None,
         mesh=mesh,
     )

@@ -441,28 +441,42 @@ class F5TTS:
             )
 
     def _inference_params(self) -> Params:
-        """Params pre-cast to the compute dtype, cached per params object.
+        """Params pre-transformed for inference, cached per params object:
+        cast to the compute dtype and, with DiTConfig.int8_compute, the
+        blocks' attention/FF kernels re-quantized to the W8A8 int8-MXU layout
+        (models/quant.w8a8_blocks).
 
         With bf16 compute, reading fp32 master weights doubles the weight HBM
         traffic of every ODE step; the sampler uses a bf16 copy instead
         (numerically identical to the per-use astype it replaces).
 
-        The cache key is the identity of `self.params`: rebinding the
-        attribute (what every loader / trainer does) invalidates it, but
-        mutating leaves IN PLACE under the same tree object would serve a
-        stale copy — assign a new tree instead of mutating leaves."""
-        if jnp.dtype(self.dit_cfg.compute_dtype) == jnp.float32:
+        The cache key is the identity of `self.params` (plus the cfg knobs
+        that shape the transform): rebinding the attribute (what every
+        loader / trainer does) invalidates it, but mutating leaves IN PLACE
+        under the same tree object would serve a stale copy — assign a new
+        tree instead of mutating leaves."""
+        dtype = jnp.dtype(self.dit_cfg.compute_dtype)
+        int8 = self.dit_cfg.int8_compute
+        if dtype == jnp.float32 and not int8:
             return self.params
-        if self._cast_cache is None or self._cast_cache[0] is not self.params:
-            dtype = jnp.dtype(self.dit_cfg.compute_dtype)
+        if self._cast_cache is None or self._cast_cache[0] != (
+            id(self.params), dtype, int8
+        ):
             # one jitted call: per-leaf astype dispatches serialize terribly
             # through the axon tunnel (hundreds of seconds for the base tree)
-            cast_fn = jax.jit(
-                lambda t: jax.tree.map(
-                    lambda x: x.astype(dtype) if x.dtype == jnp.float32 else x, t
-                )
-            )
-            self._cast_cache = (self.params, cast_fn(self.params))
+            def prep(t):
+                if dtype != jnp.float32:
+                    t = jax.tree.map(
+                        lambda x: x.astype(dtype) if x.dtype == jnp.float32 else x, t
+                    )
+                if int8:
+                    from f5_tts_tpu.models.quant import w8a8_blocks
+
+                    t = w8a8_blocks(t)
+                return t
+
+            self._cast_cache = ((id(self.params), dtype, int8), jax.jit(prep)(self.params))
+            self._cast_params_ref = self.params  # keep id() referent alive
         return self._cast_cache[1]
 
     def use_mesh(self, mesh) -> "F5TTS":

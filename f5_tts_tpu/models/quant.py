@@ -172,3 +172,46 @@ def convert_quantized_dit_state(raw: dict[str, np.ndarray], cfg, bits: int) -> P
     from f5_tts_tpu.models.convert import convert_dit_state
 
     return convert_dit_state(raw, cfg, quant_bits=bits)
+
+
+# ------------------------------------------------- int8-COMPUTE (W8A8) path
+
+# Weight-only quantization above trades HBM bytes for dequant work; this is
+# the orthogonal SPEED path: symmetric per-output-column int8 weights that
+# feed the MXU's int8 pipe directly (v5e int8 throughput is ~2x bf16;
+# measured 341-363 TOPS vs 161-184 TF/s, and 1.6-1.75x end-to-end including
+# the per-token activation quantization — tools/int8_probe.py). Opt-in via
+# DiTConfig.int8_compute; applied to the DiT blocks' large linears by
+# F5TTS._inference_params. The matmul itself lives in utils.modules.linear.
+
+
+def w8a8_from_kernel(kernel: jax.Array) -> Params:
+    """[..., in, out] float kernel -> {"w8" int8 same shape, "w8_scale" f32
+    [..., out]}: symmetric absmax per output column (and per stacked layer)."""
+    kf = kernel.astype(jnp.float32)
+    scale = jnp.maximum(jnp.max(jnp.abs(kf), axis=-2), 1e-12) * (1.0 / 127.0)
+    w8 = jnp.clip(jnp.round(kf / scale[..., None, :]), -127, 127).astype(jnp.int8)
+    return {"w8": w8, "w8_scale": scale}
+
+
+_W8A8_TARGETS = (("attn", "to_q"), ("attn", "to_k"), ("attn", "to_v"),
+                 ("attn", "to_out"), ("ff", "w1"), ("ff", "w2"))
+
+
+def w8a8_blocks(params: Params) -> Params:
+    """Replace the DiT blocks' hot linears (attention projections + FF) with
+    int8-compute leaves. Everything outside the per-layer blocks — AdaLN
+    modulation, embeddings, proj_out — stays in the float path (tiny share of
+    the FLOPs; keeps the conditioning math exact)."""
+    out = dict(params)
+    blocks = dict(params["blocks"])
+    for mod, name in _W8A8_TARGETS:
+        sub = dict(blocks[mod])
+        leaf = dict(sub[name])
+        if "kernel" in leaf:
+            kernel = leaf.pop("kernel")
+            leaf.update(w8a8_from_kernel(kernel))
+        sub[name] = leaf
+        blocks[mod] = sub
+    out["blocks"] = blocks
+    return out

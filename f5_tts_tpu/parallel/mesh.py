@@ -66,13 +66,13 @@ def _spec_for(path: str, leaf) -> P:
     ndim = np.ndim(leaf)
     for pat in _COL_SHARDED:
         if pat in path:
-            if path.endswith(("kernel", "q")):
+            if path.endswith(("kernel", "q", "w8")):
                 return P(*([None] * (ndim - 1) + ["model"]))
-            if path.endswith(("bias", "scales", "biases")):
+            if path.endswith(("bias", "scales", "biases", "w8_scale")):
                 return P(*([None] * (ndim - 1) + ["model"]))
     for pat in _ROW_SHARDED:
         if pat in path:
-            if path.endswith(("kernel", "q")):
+            if path.endswith(("kernel", "q", "w8")):
                 return P(*([None] * (ndim - 2) + ["model", None]))
             if path.endswith(("scales", "biases")):
                 # group axis (in/64) is sharded alongside the input dim

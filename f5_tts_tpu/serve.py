@@ -666,6 +666,8 @@ def main(argv=None):
     ap.add_argument("--q", type=int, default=None)
     ap.add_argument("--max-batch", type=int, default=8)
     ap.add_argument("--max-wait-ms", type=float, default=50.0)
+    ap.add_argument("--w8a8", action="store_true", default=False,
+                    help="int8-COMPUTE inference (see generate --w8a8)")
     ap.add_argument("--mesh-data", type=int, default=1,
                     help="shard micro-batch groups over N chips (data parallel)")
     ap.add_argument("--mesh-model", type=int, default=1,
@@ -682,6 +684,8 @@ def main(argv=None):
 
     enable_compilation_cache()
     model = F5TTS.from_pretrained(args.model, quantization_bits=args.q)
+    if args.w8a8:
+        model.dit_cfg = model.dit_cfg.replace(int8_compute=True)
     if args.mesh_data > 1 or args.mesh_model > 1:
         from f5_tts_tpu.parallel.mesh import create_mesh
 

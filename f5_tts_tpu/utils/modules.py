@@ -44,11 +44,27 @@ def linear(p: Params, x: jax.Array) -> jax.Array:
         from f5_tts_tpu.models.quant import quantized_matmul
 
         y = quantized_matmul(x, p)
+    elif "w8" in p:  # int8-COMPUTE leaf (W8A8 speed path, models/quant.py)
+        y = _w8a8_matmul(x, p["w8"], p["w8_scale"])
     else:
         y = x @ p["kernel"].astype(x.dtype)
     if "bias" in p:
         y = y + p["bias"].astype(x.dtype)
     return y
+
+
+def _w8a8_matmul(x: jax.Array, w8: jax.Array, scale: jax.Array) -> jax.Array:
+    """Symmetric W8A8 matmul: dynamic per-token activation quantization, an
+    int8 x int8 -> int32 MXU dot, f32 rescale. ~1.6-1.75x the bf16 matmul at
+    serving shapes on v5e (v5e int8 pipe is ~2x bf16; tools/int8_probe.py).
+    Inference-only — the training path keeps float kernels."""
+    xf = x.astype(jnp.float32)
+    sx = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True), 1e-12) * (1.0 / 127.0)
+    q = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        q, w8, (((x.ndim - 1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+    )
+    return (acc.astype(jnp.float32) * (sx * scale.astype(jnp.float32))).astype(x.dtype)
 
 
 def embedding_init(key, vocab: int, dim: int) -> Params:

@@ -107,3 +107,45 @@ def test_grouped_conv_split_lowering_grads_match_xla():
     np.testing.assert_allclose(g_tap[0]["kernel"], g_xla[0]["kernel"], atol=1e-4)
     np.testing.assert_allclose(g_tap[0]["bias"], g_xla[0]["bias"], atol=1e-4)
     np.testing.assert_allclose(g_tap[1], g_xla[1], atol=1e-4)
+
+
+def test_w8a8_linear_close_to_float():
+    """int8-COMPUTE path (models/quant.w8a8_blocks + modules._w8a8_matmul):
+    symmetric W8A8 stays within per-column quantization tolerance."""
+    import jax
+
+    from f5_tts_tpu.models.quant import w8a8_from_kernel
+    from f5_tts_tpu.utils.modules import linear
+
+    k = jax.random.normal(jax.random.key(0), (128, 256)) * 0.05
+    b = jax.random.normal(jax.random.key(1), (256,)) * 0.01
+    x = jax.random.normal(jax.random.key(2), (4, 32, 128))
+    ref = linear({"kernel": k, "bias": b}, x)
+    p8 = w8a8_from_kernel(k)
+    p8["bias"] = b
+    got = linear(p8, x)
+    rel = float(jnp.abs(got - ref).mean() / jnp.abs(ref).mean())
+    assert rel < 2e-2, rel
+    # stacked-depth kernels quantize per layer
+    ks = jax.random.normal(jax.random.key(3), (3, 128, 256)) * 0.05
+    p = w8a8_from_kernel(ks)
+    assert p["w8"].shape == (3, 128, 256) and p["w8_scale"].shape == (3, 256)
+
+
+def test_w8a8_sampling_close_to_float():
+    import jax
+
+    from f5_tts_tpu.config import CFMConfig, DiTConfig
+    from f5_tts_tpu.models.cfm import F5TTS
+
+    cfg = DiTConfig(dim=64, depth=2, heads=2, dim_head=32, ff_mult=2, mel_dim=100,
+                    text_num_embeds=256, text_dim=32, conv_layers=1,
+                    use_flash_attention=False)
+    m = F5TTS.init(jax.random.key(0), cfg, cfm_cfg=CFMConfig(duration_bucket=64))
+    cond = jax.random.normal(jax.random.key(5), (1, 32, 100))
+    o_f, _ = m.sample(cond, ["hello world"], duration=128, steps=4, method="euler", seed=0)
+    m8 = F5TTS(m.params, cfg.replace(int8_compute=True),
+               cfm_cfg=CFMConfig(duration_bucket=64))
+    o_8, _ = m8.sample(cond, ["hello world"], duration=128, steps=4, method="euler", seed=0)
+    a, b = np.asarray(o_f), np.asarray(o_8)
+    assert float(np.abs(a - b).mean() / np.abs(a).mean()) < 1e-2

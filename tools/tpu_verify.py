@@ -104,6 +104,14 @@ def main() -> None:
         check(f"int{bits} sampling vs float rel-MAE",
               float(np.abs(mel_q - mel_f).mean()) / scale, 0.5 if bits == 4 else 0.25)
 
+    # int8-COMPUTE (W8A8) on the real MXU int8 pipe vs the float path
+    m_w8 = F5TTS(base_params, small.replace(int8_compute=True), cfm_cfg=CFMConfig())
+    out_w8, _ = m_w8.sample(ref_wave[None, :], ["tpu acceptance drive"], duration=256,
+                            steps=4, method="euler", seed=0, return_trajectory=False)
+    check("w8a8 int8-compute sampling vs float rel-MAE",
+          float(np.abs(np.asarray(out_w8, np.float32) - mel_f).mean())
+          / float(np.abs(mel_f).mean()), 0.1)
+
     # -- 4. checkpoint-derived weights on-chip ----------------------------
     # the conversion chain (save_pretrained -> published naming -> config.json
     # -> from_pretrained, reference: cfm.py:404-520) executing on hardware:
