@@ -28,13 +28,15 @@ def main() -> None:
     ap.add_argument("--steps", type=int, default=32)
     ap.add_argument("--seconds", type=float, default=10.0)
     ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--w8a8", action="store_true",
+                    help="int8-COMPUTE matmuls (DiTConfig.int8_compute)")
     args = ap.parse_args()
 
     from f5_tts_tpu.config import F5TTS_V1_BASE, CFMConfig, VocosConfig
     from f5_tts_tpu.models.cfm import F5TTS
     from f5_tts_tpu.models.vocos import Vocos
 
-    dit_cfg = F5TTS_V1_BASE.replace(compute_dtype="bfloat16")
+    dit_cfg = F5TTS_V1_BASE.replace(compute_dtype="bfloat16", int8_compute=args.w8a8)
     vocoder = Vocos.init(jax.random.key(1), VocosConfig(compute_dtype="bfloat16"))
     model = F5TTS.init(jax.random.key(0), dit_cfg, cfm_cfg=CFMConfig(), vocoder=vocoder.decode)
 
