@@ -171,7 +171,7 @@ def cfm_sample_mel(
         "cfg_strength",
         "return_trajectory",
         "shared_noise",
-        "vocoder_fn",
+        "vocoder_apply",
     ),
 )
 def cfm_sample_e2e(
@@ -185,12 +185,13 @@ def cfm_sample_e2e(
     ts: jax.Array,  # [steps] sway-warped time grid
     y0: jax.Array | None,  # [b, n, d] noise override, or None to draw from seed
     seed: jax.Array,  # scalar int; ignored when y0 is given
+    vocoder_params: Params | None = None,  # pytree ARG (not a closure constant)
     *,
     method: str,
     cfg_strength: float,
     return_trajectory: bool,
     shared_noise: bool,
-    vocoder_fn=None,
+    vocoder_apply=None,  # static: (vocoder_params, mel, valid_frames) -> wave
 ):
     """The whole serving pipeline in ONE jit: masks/conditioning prep -> ODE
     integration -> composite with the reference -> vocoder (optional).
@@ -249,7 +250,9 @@ def cfm_sample_e2e(
     frame_valid = (jnp.arange(padded_len) < max_dur)[None, :, None]
     out = jnp.where(cond_mask, cond, trajectory[-1])
     out = jnp.where(frame_valid, out, jnp.zeros_like(out))
-    wave = vocoder_fn(out, valid_frames=max_dur) if vocoder_fn is not None else None
+    wave = (
+        vocoder_apply(vocoder_params, out, max_dur) if vocoder_apply is not None else None
+    )
     return out, trajectory, wave
 
 
@@ -497,22 +500,23 @@ class F5TTS:
         return self
 
     def _fused_vocoder(self):
-        """The vocoder callable for the fused sampling jit, or None.
+        """(vocoder_apply, vocoder_params) for the fused sampling jit, or
+        (None, None).
 
-        The fused pipeline vocodes at the bucket length and needs the
-        vocoder's `valid_frames` masking (models/vocos.py) for the result to
-        match a trimmed-mel decode; a callable without that parameter is
-        decoded outside the jit instead."""
-        if self._vocoder is None:
-            return None
-        import inspect
+        Only the in-repo Vocos fuses: the fused pipeline vocodes at the
+        bucket length and needs `valid_frames` masking (models/vocos.py) to
+        match a trimmed-mel decode, and its params must enter the jit as an
+        ARGUMENT — a closure would embed them as jaxpr constants, which costs
+        a device->host readback of the whole vocoder at every trace (minutes
+        through the axon tunnel) and bloats each bucket's executable. Any
+        other vocoder callable is applied outside the jit on the trimmed mel
+        (exact, one extra dispatch)."""
+        from f5_tts_tpu.models.vocos import Vocos
 
-        try:
-            if "valid_frames" in inspect.signature(self._vocoder).parameters:
-                return self._vocoder
-        except (TypeError, ValueError):
-            pass
-        return None
+        vocos = getattr(self._vocoder, "__self__", None)
+        if isinstance(vocos, Vocos):
+            return vocos.decode_params, vocos.params
+        return None, None
 
     def _prepare_mel(self, inp: jax.Array) -> jax.Array:
         """Raw wave [b, nw] -> mel [b, n, d]; mel passes through.
@@ -709,6 +713,7 @@ class F5TTS:
                 )
                 if y0_dev is not None:
                     y0_dev = jax.device_put(y0_dev, sh)
+            vocoder_apply, vocoder_params = self._fused_vocoder()
             out, trajectory, wave = cfm_sample_e2e(
                 self._inference_params(),
                 self.dit_cfg,
@@ -720,11 +725,12 @@ class F5TTS:
                 jnp.asarray(ts_np),
                 y0_dev,
                 jnp.int32(seed_val),
+                vocoder_params,
                 method=method,
                 cfg_strength=float(cfg_strength),
                 return_trajectory=return_trajectory,
                 shared_noise=seed is not None,
-                vocoder_fn=self._fused_vocoder(),
+                vocoder_apply=vocoder_apply,
             )
             if out.shape[0] != batch:  # drop DP padding rows
                 out = out[:batch]

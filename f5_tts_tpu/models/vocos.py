@@ -137,5 +137,15 @@ class Vocos:
     def decode(self, mel: jax.Array, valid_frames: jax.Array | None = None) -> jax.Array:
         return vocos_decode(self.params, self.cfg, mel, valid_frames=valid_frames)
 
+    def decode_params(
+        self, params: Params, mel: jax.Array, valid_frames: jax.Array | None = None
+    ) -> jax.Array:
+        """decode() with the params EXPLICIT — the form the fused sampling jit
+        uses (models/cfm.cfm_sample_e2e): a closure over device-array params
+        would bake them into the outer jaxpr as constants, forcing a
+        device->host readback of the whole vocoder per trace (minutes through
+        the axon tunnel) and re-embedding them in every bucket's executable."""
+        return vocos_decode(params, self.cfg, mel, valid_frames=valid_frames)
+
     def __call__(self, mel: jax.Array, valid_frames: jax.Array | None = None) -> jax.Array:
         return self.decode(mel, valid_frames=valid_frames)

@@ -1,0 +1,121 @@
+"""Serving latency on the real chip: warm request latency, streaming TTFA,
+and mixed-load latency under the one-group-at-a-time scheduler.
+
+Starts the HTTP server in-process (ONE JAX process rule), warms the relevant
+duration buckets / batch sizes through the live batcher, then measures:
+
+  - warm_synthesize_s: median end-to-end POST /synthesize (7 s utterance,
+    RK4 @ 8 steps)
+  - stream_ttfa_s: time to first PCM chunk of a warm 4-sentence
+    /synthesize_stream request
+  - mixed_load_added_s: latency of a small request issued while a 3-request
+    big-bucket burst is in flight, minus its idle-latency baseline — the
+    head-of-line-blocking bound the scheduler promises
+
+Run alone on the chip: python tools/serve_latency.py
+Prints one JSON line per metric.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import threading
+import time
+import urllib.request
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import numpy as np
+
+
+def post(port: int, payload: dict, path: str = "/synthesize", timeout: float = 600.0):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}{path}",
+        data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"},
+        method="POST",
+    )
+    return urllib.request.urlopen(req, timeout=timeout)
+
+
+def main() -> None:
+    from f5_tts_tpu.config import F5TTS_V1_BASE, CFMConfig, VocosConfig
+    from f5_tts_tpu.models.cfm import F5TTS
+    from f5_tts_tpu.models.vocos import Vocos
+    from f5_tts_tpu.serve import serve, warmup
+
+    dit_cfg = F5TTS_V1_BASE.replace(compute_dtype="bfloat16")
+    vocoder = Vocos.init(jax.random.key(1), VocosConfig(compute_dtype="bfloat16"))
+    model = F5TTS.init(jax.random.key(0), dit_cfg, cfm_cfg=CFMConfig(), vocoder=vocoder.decode)
+
+    httpd = serve(model, host="127.0.0.1", port=0, max_batch=8, max_wait_ms=30.0)
+    port = httpd.server_address[1]
+    warmup(model, [5.0, 7.0, 9.0], steps=8, method="rk4",
+           batch_sizes=(1, 2, 3), batcher=httpd.batcher)
+
+    base = {"steps": 8, "method": "rk4", "seed": 0}
+
+    # -- warm single-request latency --------------------------------------
+    times = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        with post(port, dict(base, text="a warm latency probe request", duration=7.0)) as r:
+            r.read()
+        times.append(time.perf_counter() - t0)
+    warm = float(np.median(times))
+    print(json.dumps({"metric": "warm_synthesize_s", "value": round(warm, 3),
+                      "runs": [round(t, 3) for t in times]}))
+
+    # -- streaming TTFA ----------------------------------------------------
+    stream_payload = dict(base, text=(
+        "The first sentence streams immediately. Then a second one follows. "
+        "A third continues the story. And a fourth concludes it."
+    ))
+    for attempt in range(2):  # first run pays any residual compiles
+        t0 = time.perf_counter()
+        with post(port, stream_payload, path="/synthesize_stream") as r:
+            r.read(44)  # WAV stream header
+            r.read(2)  # first PCM bytes of sentence 0
+            ttfa = time.perf_counter() - t0
+            r.read()  # drain
+            total = time.perf_counter() - t0
+    print(json.dumps({"metric": "stream_ttfa_s", "value": round(ttfa, 3),
+                      "stream_total_s": round(total, 3)}))
+
+    # -- mixed load: small request during a big-bucket burst ---------------
+    burst_done = []
+
+    def burst(i):
+        with post(port, dict(base, text=f"long backfill request number {i}", duration=9.0)) as r:
+            r.read()
+        burst_done.append(time.perf_counter())
+
+    threads = [threading.Thread(target=burst, args=(i,)) for i in range(3)]
+    t_start = time.perf_counter()
+    for t in threads:
+        t.start()
+    time.sleep(0.25)  # land mid-flight of the burst group
+    t0 = time.perf_counter()
+    with post(port, dict(base, text="urgent small request", duration=5.0)) as r:
+        r.read()
+    small_latency = time.perf_counter() - t0
+    for t in threads:
+        t.join(timeout=600)
+    burst_span = max(burst_done) - t_start
+    print(json.dumps({
+        "metric": "mixed_load_small_request_s",
+        "value": round(small_latency, 3),
+        "idle_baseline_s": round(warm, 3),
+        "added_s": round(small_latency - warm, 3),
+        "burst_total_s": round(burst_span, 3),
+    }))
+
+    httpd.batcher.stop()
+    httpd.shutdown()
+
+
+if __name__ == "__main__":
+    main()
