@@ -14,8 +14,6 @@ from f5_tts_tpu.models.cfm import F5TTS
 from f5_tts_tpu.models.vocos import Vocos
 from f5_tts_tpu.training import F5TTSTrainer
 
-FRAMES_PER_SEC = 24_000 / 256
-
 vocab = {chr(i): i for i in range(256)}
 
 try:

@@ -87,3 +87,24 @@ def test_dp_tp_mesh_sample_matches_single_device():
     sharded = _model().use_mesh(create_mesh(data=4, model=2))
     out_dp, _ = sharded.sample(cond, texts, duration=durs, steps=2, method="euler", seed=7)
     np.testing.assert_allclose(np.asarray(out_ref), np.asarray(out_dp), atol=2e-4, rtol=2e-4)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs >=4 (virtual) devices")
+def test_w8a8_composes_with_mesh():
+    """int8-COMPUTE leaves (w8/w8_scale) shard under the TP specs and the
+    DP padding path; output matches unsharded w8a8 inference."""
+    from f5_tts_tpu.parallel.mesh import create_mesh
+
+    base = _model()
+    m_w8 = F5TTS(base.params, TINY.replace(int8_compute=True),
+                 cfm_cfg=CFMConfig(duration_bucket=64), vocoder=base._vocoder)
+    cond = jax.random.normal(jax.random.key(6), (3, 32, 100))
+    texts = ["alpha beta", "gamma", "delta epsilon zeta"]
+    durs = np.array([100, 80, 120], np.int32)
+    out_ref, _ = m_w8.sample(cond, texts, duration=durs, steps=2, method="euler", seed=4)
+
+    sharded = F5TTS(base.params, TINY.replace(int8_compute=True),
+                    cfm_cfg=CFMConfig(duration_bucket=64), vocoder=base._vocoder)
+    sharded.use_mesh(create_mesh(data=2, model=2))
+    out_sh, _ = sharded.sample(cond, texts, duration=durs, steps=2, method="euler", seed=4)
+    np.testing.assert_allclose(np.asarray(out_ref), np.asarray(out_sh), atol=2e-4, rtol=2e-4)
