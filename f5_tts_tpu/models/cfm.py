@@ -515,7 +515,13 @@ class F5TTS:
 
         vocos = getattr(self._vocoder, "__self__", None)
         if isinstance(vocos, Vocos):
-            return vocos.decode_params, vocos.params
+            # one-time device commit: loaders keep params host-side (numpy),
+            # and a numpy pytree argument would re-upload the whole vocoder
+            # on EVERY sample call (~54 MB/call for the base vocoder)
+            cached = getattr(self, "_vocoder_params_dev", None)
+            if cached is None or cached[0] is not vocos.params:
+                self._vocoder_params_dev = (vocos.params, jax.device_put(vocos.params))
+            return vocos.decode_params, self._vocoder_params_dev[1]
         return None, None
 
     def _prepare_mel(self, inp: jax.Array) -> jax.Array:

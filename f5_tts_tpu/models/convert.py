@@ -491,7 +491,10 @@ def load_f5tts_pretrained(
 
     from f5_tts_tpu.utils.tokenizer import load_vocab
 
-    vocab = load_vocab(path / "vocab.txt")
+    # a snapshot written from a byte-tokenizer model carries no vocab.txt;
+    # vocab=None selects the UTF-8 byte tokenizer on load as well
+    vocab_path = path / "vocab.txt"
+    vocab = load_vocab(vocab_path) if vocab_path.exists() else None
 
     cfg_blob: dict = {}
     cfg_path = path / "config.json"
@@ -504,8 +507,10 @@ def load_f5tts_pretrained(
     if duration_model_path.exists():
         if "duration" in cfg_blob:
             dur_cfg = DurationConfig(**cfg_blob["duration"])
-        else:
+        elif vocab is not None:
             dur_cfg = DurationConfig(text_num_embeds=len(vocab) - 1)
+        else:
+            dur_cfg = DurationConfig()
         duration_predictor = DurationPredictor(
             convert_duration_state(_load_flat_checkpoint(duration_model_path), dur_cfg),
             dur_cfg,
@@ -528,8 +533,10 @@ def load_f5tts_pretrained(
 
     if "dit" in cfg_blob:
         dit_cfg = DiTConfig(**cfg_blob["dit"])
-    else:
+    elif vocab is not None:
         dit_cfg = F5TTS_V1_BASE.replace(text_num_embeds=len(vocab) - 1)
+    else:
+        dit_cfg = F5TTS_V1_BASE
     raw = _load_flat_checkpoint(path / model_filename)
 
     if quantization_bits is not None:

@@ -135,6 +135,36 @@ def test_full_offline_roundtrip_and_cli(tmp_path):
     assert sr == 24_000 and wave.shape[0] > 24_000
 
 
+def test_byte_tokenizer_snapshot_roundtrip(tmp_path):
+    """A model using the UTF-8 byte tokenizer (vocab_char_map=None) writes no
+    vocab.txt; from_pretrained must load it back as a byte-tokenizer model
+    instead of failing on the missing file, and sampling must be
+    bit-identical through the round trip."""
+    from f5_tts_tpu.config import VocosConfig
+    from f5_tts_tpu.models.vocos import Vocos
+
+    cfg = DiTConfig(
+        dim=64, depth=2, heads=2, dim_head=32, ff_mult=2, mel_dim=100,
+        text_num_embeds=256, text_dim=32, conv_layers=1,
+        use_flash_attention=False,
+    )
+    vocoder = Vocos.init(jax.random.key(2), VocosConfig(dim=64, intermediate_dim=128, num_layers=2))
+    model = F5TTS.init(jax.random.key(0), cfg, vocoder=vocoder.decode)
+    snap = tmp_path / "snapshot"
+    model.save_pretrained(snap)
+    assert not (snap / "vocab.txt").exists()
+
+    loaded = F5TTS.from_pretrained(str(snap))
+    assert loaded._vocab_char_map is None
+
+    wave = (0.1 * np.sin(2 * np.pi * 220 * np.arange(24_000) / 24_000)).astype(np.float32)
+    o0, _ = model.sample(jnp.asarray(wave)[None], ["hello"], duration=120,
+                         steps=2, method="euler", seed=3)
+    o1, _ = loaded.sample(jnp.asarray(wave)[None], ["hello"], duration=120,
+                          steps=2, method="euler", seed=3)
+    np.testing.assert_array_equal(np.asarray(o0), np.asarray(o1))
+
+
 def test_quantized_offline_roundtrip(tmp_path):
     """save_pretrained(q=8) + config.json -> from_pretrained(dir, 8) rebuilds
     a working quantized model at a non-base size, fully offline."""
