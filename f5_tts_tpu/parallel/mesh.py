@@ -1,11 +1,13 @@
 """Device-mesh parallelism: data-parallel batches + Megatron-style tensor
-parallelism over attention heads and FF hidden units.
+parallelism over attention heads and FF hidden units + optional sequence
+(context) parallelism over the frame axis for training.
 
 The reference is strictly single-device (SURVEY.md §2c: no distributed
 backend of any kind); this module is the TPU-idiomatic scale-out: a
-`Mesh(("data", "model"))`, `NamedSharding` annotations on the param pytree,
-and GSPMD-inserted collectives over ICI. The same jitted step runs unchanged
-on 1 chip (1x1 mesh) or a pod slice.
+`Mesh(("data", "model"))` — or ("data", "seq", "model") with `seq > 1` —
+`NamedSharding` annotations on the param pytree, and GSPMD-inserted
+collectives over ICI. The same jitted step runs unchanged on 1 chip (1x1
+mesh) or a pod slice.
 
 TP layout (the classic two-collective pattern):
   - attn to_q/to_k/to_v and ff w1: output dim sharded  -> heads/hidden split
@@ -27,17 +29,35 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from f5_tts_tpu.utils.modules import Params
 
 
-def create_mesh(data: int | None = None, model: int = 1, devices=None) -> Mesh:
-    """Build a ("data", "model") mesh. Defaults to all devices on the data
-    axis. Works with any device count including 1."""
+def create_mesh(
+    data: int | None = None, model: int = 1, seq: int = 1, devices=None
+) -> Mesh:
+    """Build a ("data", "model") mesh — or ("data", "seq", "model") when
+    `seq` > 1. Defaults to all devices on the data axis. Works with any
+    device count including 1.
+
+    The "seq" axis is sequence/context parallelism for the TRAINING step:
+    activations are sharded along the frame axis and GSPMD inserts the
+    collectives (halo exchanges for the convs, k/v all-gathers for
+    attention); params stay replicated over it. Useful when long sequences x
+    rematerialized activations dominate memory — the weights of this model
+    family fit one chip, so "seq" is the axis that buys context headroom
+    beyond the reference's 4096-frame cap (SURVEY.md §5 long-context)."""
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     if data is None:
-        data = n // model
-    if data * model > n:
-        raise ValueError(f"mesh {data}x{model} needs {data * model} devices, have {n}")
-    arr = mesh_utils.create_device_mesh((data, model), devices=devices[: data * model])
-    return Mesh(arr, ("data", "model"))
+        data = n // (model * seq)
+    if data * model * seq > n:
+        raise ValueError(
+            f"mesh {data}x{seq}x{model} needs {data * model * seq} devices, have {n}"
+        )
+    if seq == 1:
+        arr = mesh_utils.create_device_mesh((data, model), devices=devices[: data * model])
+        return Mesh(arr, ("data", "model"))
+    arr = mesh_utils.create_device_mesh(
+        (data, seq, model), devices=devices[: data * seq * model]
+    )
+    return Mesh(arr, ("data", "seq", "model"))
 
 
 # ------------------------------------------------------------- spec rules
@@ -116,15 +136,29 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P("data"))
 
 
+def sequence_sharding(mesh: Mesh) -> NamedSharding:
+    """For [b, n, ...] batches: batch over "data" AND frames over "seq" when
+    the mesh has a seq axis (identity with batch_sharding otherwise)."""
+    if "seq" in mesh.axis_names:
+        return NamedSharding(mesh, P("data", "seq"))
+    return NamedSharding(mesh, P("data"))
+
+
 def shard_train_step(step_fn, mesh: Mesh, state_example: dict):
-    """Jit a (state, mel, text, lens, key) -> (state, loss) step with DP+TP
-    shardings. The state is donated (in-place update on device)."""
+    """Jit a (state, mel, text, lens, key) -> (state, loss) step with
+    DP(+SP)+TP shardings. The state is donated (in-place update on device).
+
+    mel [b, n, d] and text [b, n] take the sequence sharding (frame axis over
+    "seq" when present); per-sample lens stays batch-only. No model-code
+    annotations are needed: GSPMD propagates the input shardings through the
+    whole loss/grad/update graph and inserts the collectives."""
     state_sh = _named(mesh, state_specs(state_example))
     data_sh = batch_sharding(mesh)
+    seq_sh = sequence_sharding(mesh)
     repl = NamedSharding(mesh, P())
     return jax.jit(
         step_fn,
-        in_shardings=(state_sh, data_sh, data_sh, data_sh, repl),
+        in_shardings=(state_sh, seq_sh, seq_sh, data_sh, repl),
         out_shardings=(state_sh, repl),
         donate_argnums=(0,),
     )

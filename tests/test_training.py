@@ -156,6 +156,44 @@ def test_mesh_sharded_step_matches_single_device():
     np.testing.assert_allclose(k1, k2, atol=2e-5)
 
 
+def test_seq_sharded_step_matches_single_device():
+    """DPxSPxTP (2x2x2): sequence-parallel activations via GSPMD input
+    shardings must not change the numbers — the frame axis of mel/text is
+    sharded over "seq", params replicated over it, and XLA inserts the conv
+    halo exchanges / attention gathers."""
+    from f5_tts_tpu.parallel.mesh import (
+        batch_sharding,
+        create_mesh,
+        sequence_sharding,
+        shard_state,
+        shard_train_step,
+    )
+
+    params = init_dit(jax.random.key(0), TINY)
+    opt = make_optimizer(learning_rate=1e-3, num_warmup_steps=1, total_steps=100)
+    step_fn = make_train_step(TINY, CFM, opt)
+
+    mel, text, lens = _fake_batch(b=4, n=64)
+    key = jax.random.key(3)
+
+    state1 = init_train_state(params, opt)
+    state1, loss1 = jax.jit(step_fn)(state1, mel, text, lens, key)
+
+    mesh = create_mesh(data=2, model=2, seq=2)
+    assert mesh.axis_names == ("data", "seq", "model")
+    state2 = shard_state(init_train_state(params, opt), mesh)
+    sharded = shard_train_step(step_fn, mesh, state2)
+    ssh, dsh = sequence_sharding(mesh), batch_sharding(mesh)
+    state2, loss2 = sharded(
+        state2, jax.device_put(mel, ssh), jax.device_put(text, ssh),
+        jax.device_put(lens, dsh), key,
+    )
+    np.testing.assert_allclose(float(loss1), float(loss2), rtol=2e-4)
+    k1 = np.asarray(state1["params"]["proj_out"]["kernel"])
+    k2 = np.asarray(state2["params"]["proj_out"]["kernel"])
+    np.testing.assert_allclose(k1, k2, atol=2e-5)
+
+
 def test_param_specs_shard_the_right_leaves():
     from jax.sharding import PartitionSpec as P
 
