@@ -68,6 +68,8 @@ def main() -> None:
     ap.add_argument("--w8a8", action="store_true",
                     help="benchmark with int8-COMPUTE matmuls (DiTConfig.int8_compute)")
     args = ap.parse_args()
+    if args.w8a8 and args.q:
+        ap.error("--q and --w8a8 cannot be combined (int8 compute needs float kernels)")
 
     from f5_tts_tpu.utils.profiling import enable_compilation_cache
 

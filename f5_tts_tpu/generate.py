@@ -11,6 +11,7 @@ loops; see SURVEY.md §5 long-context row).
 from __future__ import annotations
 
 import argparse
+import copy
 import datetime
 import re
 import sys
@@ -190,8 +191,19 @@ def generate(
 
     from f5_tts_tpu.models.cfm import F5TTS
 
+    if int8_compute and quantization_bits:
+        raise ValueError(
+            "--q (weight-only group-64 snapshots) and --w8a8 (int8 compute "
+            "from float kernels) are separate paths and cannot be combined"
+        )
     if model is None:
         model = F5TTS.from_pretrained(model_name, quantization_bits=quantization_bits)
+    elif int8_compute or mesh is not None:
+        # never mutate a caller-supplied model: a later model.sample() must
+        # not silently run int8/sharded because of one generate() call.
+        # Attribute rebinds below (dit_cfg, params via use_mesh) leave the
+        # caller's object untouched through a shallow copy.
+        model = copy.copy(model)
     if int8_compute:
         model.dit_cfg = model.dit_cfg.replace(int8_compute=True)
     if mesh is not None:

@@ -453,18 +453,18 @@ class F5TTS:
         traffic of every ODE step; the sampler uses a bf16 copy instead
         (numerically identical to the per-use astype it replaces).
 
-        The cache key is the identity of `self.params` (plus the cfg knobs
-        that shape the transform): rebinding the attribute (what every
-        loader / trainer does) invalidates it, but mutating leaves IN PLACE
-        under the same tree object would serve a stale copy — assign a new
-        tree instead of mutating leaves."""
+        The cache key is the identity of every leaf of `self.params` (plus
+        the cfg knobs that shape the transform): rebinding the attribute OR
+        swapping any leaf under the same tree object invalidates it (JAX
+        arrays are immutable, so a changed array is a changed leaf id).
+        Keying costs one tree_leaves + id() sweep (~300 leaves, microseconds)
+        per sample() call."""
         dtype = jnp.dtype(self.dit_cfg.compute_dtype)
         int8 = self.dit_cfg.int8_compute
         if dtype == jnp.float32 and not int8:
             return self.params
-        if self._cast_cache is None or self._cast_cache[0] != (
-            id(self.params), dtype, int8
-        ):
+        key = (tuple(map(id, jax.tree.leaves(self.params))), dtype, int8)
+        if self._cast_cache is None or self._cast_cache[0] != key:
             # one jitted call: per-leaf astype dispatches serialize terribly
             # through the axon tunnel (hundreds of seconds for the base tree)
             def prep(t):
@@ -478,8 +478,11 @@ class F5TTS:
                     t = w8a8_blocks(t)
                 return t
 
-            self._cast_cache = ((id(self.params), dtype, int8), jax.jit(prep)(self.params))
-            self._cast_params_ref = self.params  # keep id() referent alive
+            self._cast_cache = (key, jax.jit(prep)(self.params))
+            # pin the exact leaf objects whose ids form the key: otherwise a
+            # swapped-out leaf could be collected and a new array could reuse
+            # its id, aliasing the key back onto a stale entry
+            self._cast_params_ref = jax.tree.leaves(self.params)
         return self._cast_cache[1]
 
     def use_mesh(self, mesh) -> "F5TTS":

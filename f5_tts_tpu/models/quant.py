@@ -202,7 +202,13 @@ def w8a8_blocks(params: Params) -> Params:
     """Replace the DiT blocks' hot linears (attention projections + FF) with
     int8-compute leaves. Everything outside the per-layer blocks — AdaLN
     modulation, embeddings, proj_out — stays in the float path (tiny share of
-    the FLOPs; keeps the conditioning math exact)."""
+    the FLOPs; keeps the conditioning math exact).
+
+    Refuses weight-only-quantized trees (group-64 {q, scales, biases} leaves,
+    the --q artifacts): silently skipping them would run the dequant path
+    while the config claims int8 compute — re-quantizing group-quantized
+    weights to per-channel W8A8 would also compound two quantization errors.
+    Load the float snapshot for int8_compute."""
     out = dict(params)
     blocks = dict(params["blocks"])
     for mod, name in _W8A8_TARGETS:
@@ -211,6 +217,13 @@ def w8a8_blocks(params: Params) -> Params:
         if "kernel" in leaf:
             kernel = leaf.pop("kernel")
             leaf.update(w8a8_from_kernel(kernel))
+        elif "q" in leaf:
+            raise ValueError(
+                "int8_compute (W8A8) requires float kernels, but "
+                f"blocks[{mod!r}][{name!r}] is weight-only quantized "
+                "({q, scales, biases}). The --q snapshots and --w8a8 are "
+                "separate paths: load the float snapshot for int8 compute."
+            )
         sub[name] = leaf
         blocks[mod] = sub
     out["blocks"] = blocks

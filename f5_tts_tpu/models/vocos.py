@@ -92,9 +92,13 @@ def vocos_decode(
         vmask = (jnp.arange(x.shape[1]) < valid_frames)[None, :, None].astype(dtype)
 
     x = conv1d(params["embed"], x, padding=3)
+    x = layer_norm(x, params["norm"], eps=1e-6)
+    # mask AFTER the layer norm: its affine bias would otherwise turn the
+    # zeroed tail rows back into `bias` and the first block's dwconv would
+    # mix them into the last valid frames (only the dwconvs mix positions —
+    # in-block norms/pwconvs are pointwise, so per-block re-masking suffices)
     if vmask is not None:
         x = x * vmask
-    x = layer_norm(x, params["norm"], eps=1e-6)
     for block_p in params["convnext"]:
         x = vocos_convnext_block(block_p, x)
         if vmask is not None:

@@ -47,9 +47,10 @@ def create_mesh(
     n = len(devices)
     if data is None:
         data = n // (model * seq)
-    if data * model * seq > n:
+    if data < 1 or data * model * seq > n:
         raise ValueError(
-            f"mesh {data}x{seq}x{model} needs {data * model * seq} devices, have {n}"
+            f"mesh {data}x{seq}x{model} needs {max(1, data) * model * seq} "
+            f"devices, have {n}"
         )
     if seq == 1:
         arr = mesh_utils.create_device_mesh((data, model), devices=devices[: data * model])

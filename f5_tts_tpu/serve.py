@@ -40,6 +40,7 @@ import json
 import math
 import queue
 import threading
+import time
 import wave as wave_mod
 from concurrent.futures import Future
 from dataclasses import dataclass, field
@@ -82,6 +83,8 @@ class _Request:
     # through duration prediction AND synthesis; tokenize once)
     text_ids: np.ndarray | None = None
     future: Future = field(default_factory=Future)
+    # enqueue time, for the scheduler's anti-starvation aging (monotonic)
+    t_submit: float = field(default_factory=time.monotonic)
 
     def group_key(self, bucket: int) -> tuple:
         # ref length doesn't key compiles (mel runs on a fixed-size window in
@@ -96,11 +99,22 @@ class MicroBatcher(threading.Thread):
     """Collects requests for up to `max_wait_ms`, groups compatible ones, and
     runs each group as one batched sample() call."""
 
-    def __init__(self, model, max_batch: int = 8, max_wait_ms: float = 50.0):
+    def __init__(
+        self,
+        model,
+        max_batch: int = 8,
+        max_wait_ms: float = 50.0,
+        starvation_s: float = 10.0,
+    ):
         super().__init__(daemon=True)
         self.model = model
         self.max_batch = max_batch
         self.max_wait = max_wait_ms / 1000.0
+        # anti-starvation bound: a backfill (rank-1) group whose oldest
+        # request has waited this long runs AHEAD of fresh rank-0 groups —
+        # strict rank priority would otherwise starve stream tails forever
+        # under sustained rank-0 traffic
+        self.starvation_s = starvation_s
         self.queue: queue.Queue[_Request] = queue.Queue()
         self._stop = threading.Event()
 
@@ -174,10 +188,20 @@ class MicroBatcher(threading.Thread):
         groups: dict[tuple, list[_Request]] = {}
         for r in pending:
             groups.setdefault(r.group_key(bucket), []).append(r)
-        key, group = min(
-            groups.items(),
-            key=lambda kv: (kv[0][6], kv[0][5] * kv[0][0] * min(len(kv[1]), self.max_batch)),
-        )
+
+        now = time.monotonic()
+
+        def priority(kv):
+            key, reqs = kv
+            rank = key[6]
+            # aging: a group past the starvation bound outranks EVERYTHING
+            # (rank -1), so rank-1 backfill makes progress even when a new
+            # rank-0 group arrives during every run
+            if rank > 0 and now - min(r.t_submit for r in reqs) > self.starvation_s:
+                rank = -1
+            return (rank, key[5] * key[0] * min(len(reqs), self.max_batch))
+
+        key, group = min(groups.items(), key=priority)
         group = group[: self.max_batch]
         self._run_group(group)
 
@@ -678,6 +702,9 @@ def main(argv=None):
     ap.add_argument("--warmup-batches", type=str, default="1",
                     help="comma-separated batch sizes to pre-compile, e.g. '1,4,8'")
     args = ap.parse_args(argv)
+    if args.w8a8 and args.q:
+        ap.error("--q and --w8a8 cannot be combined: int8 compute quantizes "
+                 "activations against FLOAT kernels (load the float snapshot)")
 
     from f5_tts_tpu.models.cfm import F5TTS
     from f5_tts_tpu.utils.profiling import enable_compilation_cache

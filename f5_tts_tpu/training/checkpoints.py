@@ -102,3 +102,87 @@ class TrainCheckpointManager:
     def close(self) -> None:
         self._mgr.wait_until_finished()
         self._mgr.close()
+
+
+# ------------------------------------------------- shared trainer resume
+
+# Both trainers (training/trainer.py, training/duration_trainer.py) resume
+# the same way; only the filename prefix and the weight-conversion functions
+# differ. The policy lives here ONCE so a fix to one trainer cannot silently
+# drift from the other.
+
+
+def latest_checkpoint_step(results_dir: str | Path, prefix: str, ckpt_mgr=None) -> int | None:
+    """Newest resumable step (crash-resume entry: checkpoint="latest").
+
+    With orbax enabled, orbax's committed steps are authoritative — a newer
+    weights-only safetensors file can exist when a crash landed between the
+    synchronous safetensors write and the async orbax commit, and resuming
+    from it would silently lose optimizer/schedule state."""
+    if ckpt_mgr is not None:
+        latest = ckpt_mgr.latest_step()
+        if latest is not None:
+            return int(latest)
+    steps = []
+    for p in Path(results_dir).glob(f"{prefix}*.safetensors"):
+        stem = p.stem.split(".")[0]  # strip .ema / .trainstate
+        try:
+            steps.append(int(stem.removeprefix(prefix)))
+        except ValueError:
+            continue
+    return max(steps) if steps else None
+
+
+def restore_orbax_adapting_ema(ckpt_mgr: TrainCheckpointManager, step: int, state: dict) -> dict:
+    """Restore the full state; tolerate a changed ema_decay setting by
+    adapting the 'ema' subtree instead of failing on a pytree mismatch."""
+    try:
+        return ckpt_mgr.restore(step, state)
+    except (ValueError, KeyError):
+        has_ema_now = "ema" in state
+        alt = dict(state)
+        if has_ema_now:
+            alt.pop("ema")  # checkpoint was written without EMA
+        else:
+            alt["ema"] = jax.tree.map(lambda x: x, state["params"])
+        restored = ckpt_mgr.restore(step, alt)
+        if has_ema_now:
+            print("warning: checkpoint has no EMA; re-initializing EMA from params")
+            restored["ema"] = jax.jit(lambda t: jax.tree.map(lambda x: x + 0, t))(
+                restored["params"]
+            )
+        else:
+            print("warning: checkpoint has EMA but ema_decay is None; dropping it")
+            restored.pop("ema", None)
+        return restored
+
+
+def restore_train_state_file(state: dict, ts_path: str | Path, reference_note: str) -> None:
+    """Fill opt_state/step of `state` (in place) from a .trainstate
+    safetensors file, or warn LOUDLY that the resume is weights-only."""
+    import jax.numpy as jnp
+
+    ts_path = Path(ts_path)
+    if ts_path.exists():
+        restored = load_tree_safetensors(
+            ts_path, {"opt_state": state["opt_state"], "step": state["step"]}
+        )
+        state["opt_state"] = restored["opt_state"]
+        state["step"] = jnp.asarray(restored["step"], jnp.int32)
+    else:
+        print(
+            f"WARNING: no train-state file next to the step weights "
+            f"({ts_path.name}); resuming WEIGHTS-ONLY — optimizer moments and "
+            f"the LR schedule restart from zero ({reference_note})"
+        )
+
+
+def save_train_state(ckpt_mgr, step: int, state: dict, ts_path: str | Path) -> None:
+    """Full-train-state save: orbax (async) when a manager is configured,
+    else the safetensors .trainstate file next to the weights."""
+    if ckpt_mgr is not None:
+        ckpt_mgr.save(step, state)
+    else:
+        save_tree_safetensors(
+            Path(ts_path), {"opt_state": state["opt_state"], "step": state["step"]}
+        )

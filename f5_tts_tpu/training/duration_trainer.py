@@ -96,15 +96,12 @@ class DurationTrainer:
             _export(self.state["ema"], self.results_dir / f"duration_{step}.ema.safetensors")
 
         if self.state is not None:
-            if self.ckpt_mgr is not None:
-                self.ckpt_mgr.save(step, self.state)  # async full-state save
-            else:
-                from f5_tts_tpu.training.checkpoints import save_tree_safetensors
+            from f5_tts_tpu.training.checkpoints import save_train_state
 
-                save_tree_safetensors(
-                    self.results_dir / f"duration_{step}.trainstate.safetensors",
-                    {"opt_state": self.state["opt_state"], "step": self.state["step"]},
-                )
+            save_train_state(
+                self.ckpt_mgr, step, self.state,
+                self.results_dir / f"duration_{step}.trainstate.safetensors",
+            )
 
     def load_checkpoint(self, step: int) -> None:
         from safetensors.numpy import load_file
@@ -116,62 +113,23 @@ class DurationTrainer:
             ema_path = self.results_dir / f"duration_{step}.ema.safetensors"
             if "ema" in self.state and ema_path.exists():
                 self.state["ema"] = convert_duration_state(load_file(ema_path), self.model.cfg)
-            ts_path = self.results_dir / f"duration_{step}.trainstate.safetensors"
-            if ts_path.exists():
-                from f5_tts_tpu.training.checkpoints import load_tree_safetensors
+            from f5_tts_tpu.training.checkpoints import restore_train_state_file
 
-                restored = load_tree_safetensors(
-                    ts_path,
-                    {"opt_state": self.state["opt_state"], "step": self.state["step"]},
-                )
-                self.state["opt_state"] = restored["opt_state"]
-                self.state["step"] = jnp.asarray(restored["step"], jnp.int32)
-            else:
-                print(
-                    f"WARNING: no train-state file next to step-{step} weights "
-                    f"(duration_{step}.trainstate.safetensors); resuming WEIGHTS-ONLY — "
-                    "optimizer moments and the LR schedule restart from zero "
-                    "(the reference's resume bug, duration_trainer.py:55-60)"
-                )
+            restore_train_state_file(
+                self.state,
+                self.results_dir / f"duration_{step}.trainstate.safetensors",
+                "the reference's resume bug, duration_trainer.py:55-60",
+            )
 
     def _latest_checkpoint_step(self) -> int | None:
-        """Newest resumable step (crash-resume entry: checkpoint="latest");
-        orbax's committed steps are authoritative when enabled."""
-        if self.ckpt_mgr is not None:
-            latest = self.ckpt_mgr.latest_step()
-            if latest is not None:
-                return int(latest)
-        steps = []
-        for p in self.results_dir.glob("duration_*.safetensors"):
-            stem = p.stem.split(".")[0]  # strip .ema / .trainstate
-            try:
-                steps.append(int(stem.removeprefix("duration_")))
-            except ValueError:
-                continue
-        return max(steps) if steps else None
+        from f5_tts_tpu.training.checkpoints import latest_checkpoint_step
+
+        return latest_checkpoint_step(self.results_dir, "duration_", self.ckpt_mgr)
 
     def _restore_orbax(self, step: int) -> dict:
-        """Restore the full state; tolerate a changed ema_decay setting by
-        adapting the 'ema' subtree (same policy as the CFM trainer)."""
-        try:
-            return self.ckpt_mgr.restore(step, self.state)
-        except (ValueError, KeyError):
-            has_ema_now = "ema" in self.state
-            alt = dict(self.state)
-            if has_ema_now:
-                alt.pop("ema")
-            else:
-                alt["ema"] = jax.tree.map(lambda x: x, self.state["params"])
-            restored = self.ckpt_mgr.restore(step, alt)
-            if has_ema_now:
-                print("warning: checkpoint has no EMA; re-initializing EMA from params")
-                restored["ema"] = jax.jit(lambda t: jax.tree.map(lambda x: x + 0, t))(
-                    restored["params"]
-                )
-            else:
-                print("warning: checkpoint has EMA but ema_decay is None; dropping it")
-                restored.pop("ema", None)
-            return restored
+        from f5_tts_tpu.training.checkpoints import restore_orbax_adapting_ema
+
+        return restore_orbax_adapting_ema(self.ckpt_mgr, step, self.state)
 
     # ------------------------------------------------------------ training
 

@@ -19,7 +19,6 @@ from __future__ import annotations
 
 import datetime
 import os
-from functools import partial
 from pathlib import Path
 
 import jax
@@ -202,43 +201,17 @@ class F5TTSTrainer:
                       self.results_dir / f"f5tts_{step}.ema.safetensors")
 
         if self.state is not None:
-            if self.ckpt_mgr is not None:
-                self.ckpt_mgr.save(step, self.state)  # async full-state save
-            else:
-                self._save_train_state(step)
+            from f5_tts_tpu.training.checkpoints import save_train_state
+
+            save_train_state(
+                self.ckpt_mgr, step, self.state,
+                self.results_dir / f"f5tts_{step}.trainstate.safetensors",
+            )
 
     def _restore_orbax(self, step: int) -> dict:
-        """Restore the full state; tolerate a changed ema_decay setting by
-        adapting the 'ema' subtree instead of failing on a pytree mismatch."""
-        import jax as _jax
+        from f5_tts_tpu.training.checkpoints import restore_orbax_adapting_ema
 
-        try:
-            return self.ckpt_mgr.restore(step, self.state)
-        except (ValueError, KeyError):
-            has_ema_now = "ema" in self.state
-            alt = dict(self.state)
-            if has_ema_now:
-                alt.pop("ema")  # checkpoint was written without EMA
-            else:
-                alt["ema"] = _jax.tree.map(lambda x: x, self.state["params"])
-            restored = self.ckpt_mgr.restore(step, alt)
-            if has_ema_now:
-                print("warning: checkpoint has no EMA; re-initializing EMA from params")
-                restored["ema"] = _jax.jit(lambda t: _jax.tree.map(lambda x: x + 0, t))(
-                    restored["params"]
-                )
-            else:
-                print("warning: checkpoint has EMA but ema_decay is None; dropping it")
-                restored.pop("ema", None)
-            return restored
-
-    def _save_train_state(self, step: int) -> None:
-        from f5_tts_tpu.training.checkpoints import save_tree_safetensors
-
-        save_tree_safetensors(
-            self.results_dir / f"f5tts_{step}.trainstate.safetensors",
-            {"opt_state": self.state["opt_state"], "step": self.state["step"]},
-        )
+        return restore_orbax_adapting_ema(self.ckpt_mgr, step, self.state)
 
     def load_checkpoint(self, step: int) -> None:
         from safetensors.numpy import load_file
@@ -250,43 +223,18 @@ class F5TTSTrainer:
             ema_path = self.results_dir / f"f5tts_{step}.ema.safetensors"
             if "ema" in self.state and ema_path.exists():
                 self.state["ema"] = convert_dit_state(load_file(ema_path), self.model.dit_cfg)
-            ts_path = self.results_dir / f"f5tts_{step}.trainstate.safetensors"
-            if ts_path.exists():
-                from f5_tts_tpu.training.checkpoints import load_tree_safetensors
+            from f5_tts_tpu.training.checkpoints import restore_train_state_file
 
-                restored = load_tree_safetensors(
-                    ts_path,
-                    {"opt_state": self.state["opt_state"], "step": self.state["step"]},
-                )
-                self.state["opt_state"] = restored["opt_state"]
-                self.state["step"] = jnp.asarray(restored["step"], jnp.int32)
-            else:
-                print(
-                    f"WARNING: no train-state file next to step-{step} weights "
-                    f"(f5tts_{step}.trainstate.safetensors); resuming WEIGHTS-ONLY — "
-                    "optimizer moments and the LR schedule restart from zero "
-                    "(the reference's resume bug, trainer.py:67-79)"
-                )
+            restore_train_state_file(
+                self.state,
+                self.results_dir / f"f5tts_{step}.trainstate.safetensors",
+                "the reference's resume bug, trainer.py:67-79",
+            )
 
     def _latest_checkpoint_step(self) -> int | None:
-        """Newest resumable step (crash-resume entry: checkpoint="latest").
+        from f5_tts_tpu.training.checkpoints import latest_checkpoint_step
 
-        With orbax enabled, orbax's committed steps are authoritative — a
-        newer weights-only safetensors file can exist when a crash landed
-        between the synchronous safetensors write and the async orbax commit,
-        and resuming from it would silently lose optimizer/schedule state."""
-        if self.ckpt_mgr is not None:
-            latest = self.ckpt_mgr.latest_step()
-            if latest is not None:
-                return int(latest)
-        steps = []
-        for p in self.results_dir.glob("f5tts_*.safetensors"):
-            stem = p.stem.split(".")[0]  # strip .ema
-            try:
-                steps.append(int(stem.removeprefix("f5tts_")))
-            except ValueError:
-                continue
-        return max(steps) if steps else None
+        return latest_checkpoint_step(self.results_dir, "f5tts_", self.ckpt_mgr)
 
     # ------------------------------------------------------------ sampling
 
@@ -434,7 +382,8 @@ class F5TTSTrainer:
                 if self.ckpt_mgr is not None:
                     print(
                         f"warning: step {checkpoint} not in orbax; resuming "
-                        "weights-only from safetensors (optimizer state reset)"
+                        "from the safetensors files (full train state when a "
+                        ".trainstate file exists, else weights-only)"
                     )
                 self.load_checkpoint(checkpoint)
             start_step = checkpoint

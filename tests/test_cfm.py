@@ -162,3 +162,23 @@ def test_fused_path_duration_independence(model):
     )
     solo, _ = model.sample(cond[:1], ["ab"], duration=40, steps=2, method="euler", seed=2)
     np.testing.assert_allclose(np.asarray(both[0, :40]), np.asarray(solo[0]), atol=1e-5, rtol=1e-5)
+
+
+def test_inference_param_cache_invalidates_on_leaf_swap():
+    """The cast cache keys on leaf identities: swapping a single leaf under
+    the SAME params dict must produce a fresh cast copy, not a stale one
+    (round-2 review footgun on the old root-id key)."""
+    m = F5TTS.init(
+        jax.random.key(0),
+        TINY.replace(compute_dtype="bfloat16"),
+        cfm_cfg=CFM,
+        vocab_char_map={"a": 1},
+    )
+    first = m._inference_params()
+    assert first["proj_out"]["kernel"].dtype == jnp.bfloat16
+    # swap one leaf in place under the same tree object
+    m.params["proj_out"]["kernel"] = jnp.zeros_like(m.params["proj_out"]["kernel"])
+    second = m._inference_params()
+    np.testing.assert_array_equal(np.asarray(second["proj_out"]["kernel"], np.float32), 0.0)
+    # and an unchanged tree still hits the cache (same object back)
+    assert m._inference_params() is second

@@ -131,3 +131,46 @@ def test_cli_parser_flags():
     )
     assert args.text == "hi" and args.steps == 4 and args.q == 8
     assert args.method == "euler" and args.cfg == 1.5
+
+
+def test_generate_does_not_mutate_caller_model(tmp_path):
+    """generate(model=m, int8_compute=True) must not flip the caller's model
+    into int8 mode for later direct m.sample() calls (it works on a shallow
+    copy instead)."""
+    model = _tiny_model()
+    ref = (0.2 * np.sin(2 * np.pi * 220 * np.arange(12_000) / 24_000)).astype(np.float32)
+    ref_path = tmp_path / "ref.wav"
+    write_wav(ref_path, ref, 24_000)
+
+    assert not model.dit_cfg.int8_compute
+    wave = generate(
+        "Hello world",
+        duration=1.5,
+        ref_audio_path=str(ref_path),
+        ref_audio_text="a tone",
+        steps=2,
+        method="euler",
+        seed=0,
+        output_path=str(tmp_path / "o.wav"),
+        model=model,
+        play=False,
+        int8_compute=True,
+    )
+    assert wave.ndim == 1
+    assert not model.dit_cfg.int8_compute  # caller's object untouched
+
+
+def test_generate_rejects_q_with_w8a8():
+    with pytest.raises(ValueError, match="cannot be combined"):
+        generate("hi", duration=1.0, quantization_bits=8, int8_compute=True)
+
+
+def test_w8a8_blocks_refuses_weight_quantized_tree():
+    """Silently skipping {q, scales, biases} leaves would run the dequant
+    path while the config claims int8 compute."""
+    from f5_tts_tpu.models.quant import quantize_tree, w8a8_blocks
+
+    model = _tiny_model()
+    quantized = quantize_tree(model.params, bits=8)
+    with pytest.raises(ValueError, match="int8_compute"):
+        w8a8_blocks(quantized)

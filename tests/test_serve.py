@@ -343,3 +343,26 @@ def _tiny_model_for_batcher():
                     text_num_embeds=256, text_dim=16, conv_layers=1,
                     use_flash_attention=False)
     return F5TTS.init(jax.random.key(0), cfg, cfm_cfg=CFMConfig(duration_bucket=64))
+
+
+def test_aged_backfill_outranks_fresh_rank0():
+    """Anti-starvation aging: strict rank priority would starve a stream's
+    backfill forever under sustained rank-0 traffic — once a rank-1 group's
+    oldest request passes the starvation bound it runs ahead of fresh rank-0
+    groups; an un-aged backfill still yields."""
+    import time
+
+    model = _tiny_model_for_batcher()
+    b = _RecordingBatcher(model, max_batch=2, starvation_s=5.0)
+
+    old = _mk_req("old-backfill", 700, rank=1)
+    old.t_submit = time.monotonic() - 10.0  # past the bound
+    fresh = _mk_req("fresh-urgent", 100, rank=0)
+    b._step([old, fresh], drain=False)
+    assert [r.text for r in b.dispatched[0]] == ["old-backfill"]
+
+    b.dispatched.clear()
+    young = _mk_req("young-backfill", 700, rank=1)  # just submitted
+    urgent = _mk_req("urgent", 100, rank=0)
+    b._step([young, urgent], drain=False)
+    assert [r.text for r in b.dispatched[0]] == ["urgent"]

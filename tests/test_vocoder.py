@@ -100,9 +100,32 @@ def test_istft_valid_frames_matches_trimmed():
 def test_vocos_valid_frames_matches_trimmed_decode():
     """Bucket-padded decode with valid_frames reproduces the trimmed decode
     exactly: zero-padding past k matches SAME conv padding, and the ISTFT
-    envelope is masked."""
+    envelope is masked.
+
+    The layer norms get NONZERO biases first: pretrained checkpoints have
+    them, and a bias turns masked-zero tail rows back into `bias` — if the
+    mask is applied before a norm instead of after, the first dwconv leaks
+    the tail into the last valid frames (init zeroes biases, which would hide
+    exactly that bug)."""
     voc = Vocos.init(jax.random.key(2), TINY)
     rng = np.random.default_rng(1)
+
+    def bias_norms(p):
+        if isinstance(p, dict):
+            if "scale" in p and "bias" in p:
+                p["bias"] = jnp.asarray(rng.standard_normal(p["bias"].shape, np.float32) * 0.1)
+            else:
+                for v in p.values():
+                    bias_norms(v)
+        elif isinstance(p, list):
+            for v in p:
+                bias_norms(v)
+
+    bias_norms(voc.params["norm"])
+    bias_norms(voc.params["final_layer_norm"])
+    for block in voc.params["convnext"]:
+        bias_norms(block["norm"])
+
     k, padded = 19, 32
     mel = rng.standard_normal((2, padded, 100)).astype(np.float32)
     mel[:, k:] = 0.0
