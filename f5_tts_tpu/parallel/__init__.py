@@ -7,6 +7,11 @@ from f5_tts_tpu.parallel.mesh import (
     shard_train_step,
     shard_model_for_inference,
 )
+from f5_tts_tpu.parallel.pipeline import (
+    create_pipeline_mesh,
+    dit_forward_pipelined,
+    shard_params_for_pipeline,
+)
 
 __all__ = [
     "create_mesh",
@@ -16,4 +21,7 @@ __all__ = [
     "shard_state",
     "shard_train_step",
     "shard_model_for_inference",
+    "create_pipeline_mesh",
+    "dit_forward_pipelined",
+    "shard_params_for_pipeline",
 ]

@@ -126,6 +126,41 @@ def run_sampling(n: int, devices) -> tuple[np.ndarray, dict[str, int]]:
     return np.asarray(out[-1]), count_collectives(hlo)
 
 
+def run_pipeline(
+    stages: int, data: int, devices, microbatches: int = 2
+) -> tuple[float, dict[str, int]]:
+    """GPipe pipeline over the depth axis (parallel/pipeline.py): max|Δ| of
+    the pipelined DiT forward vs the sequential one, plus collective counts."""
+    from f5_tts_tpu.models.dit import dit_forward
+    from f5_tts_tpu.parallel.pipeline import (
+        create_pipeline_mesh,
+        dit_forward_pipelined,
+        shard_params_for_pipeline,
+    )
+
+    cfg = CFG.replace(depth=4)  # divisible by up to 4 stages
+    params = init_dit(jax.random.key(0), cfg)
+    b = GLOBAL_BATCH
+    keys = jax.random.split(jax.random.key(3), 4)
+    x = jax.random.normal(keys[0], (b, SEQ, cfg.mel_dim))
+    cond = jax.random.normal(keys[1], (b, SEQ, cfg.mel_dim))
+    text = jax.random.randint(keys[2], (b, SEQ), -1, cfg.text_num_embeds)
+    time = jax.random.uniform(keys[3], (b,))
+
+    ref = dit_forward(params, cfg, x, cond, text, time)
+
+    mesh = create_pipeline_mesh(stages=stages, data=data, devices=devices)
+    p_sh = shard_params_for_pipeline(params, mesh)
+    fn = jax.jit(
+        lambda p, *a: dit_forward_pipelined(
+            p, cfg, *a, mesh=mesh, num_microbatches=microbatches
+        )
+    )
+    hlo = fn.lower(p_sh, x, cond, text, time).compile().as_text()
+    out = fn(p_sh, x, cond, text, time)
+    return float(np.abs(np.asarray(out) - np.asarray(ref)).max()), count_collectives(hlo)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default=None, help="write the markdown report here")
@@ -191,6 +226,35 @@ def main() -> None:
         "attention/FF shardings; halo exchanges / attention gathers for the "
         "sequence-parallel frame sharding).",
     ]
+    # pipeline-parallel rows: the depth axis sharded over "stage"
+    # (parallel/pipeline.py), alone and composed with DP
+    lines += [
+        "",
+        "## Pipeline parallelism (depth axis)",
+        "",
+        "GPipe-style PP from `parallel/pipeline.py`: the scan-stacked block",
+        "params shard their leading depth axis over a \"stage\" mesh axis and",
+        "microbatches stream through stages via `lax.ppermute` (depth=4 tiny",
+        "config, 2 microbatches, forward vs the sequential `dit_forward`):",
+        "",
+        "| mesh (data×stage) | forward max|Δ| vs sequential | collectives |",
+        "|---|---|---|",
+    ]
+    for stages, data in ((2, 1), (4, 1), (4, 2)):
+        dp, coll = run_pipeline(stages, data, devices)
+        lines.append(f"| {data}×{stages} | {dp:.2e} | {fmt_collectives(coll)} |")
+        assert dp < 5e-5, f"PP {data}x{stages}: diverged from sequential ({dp})"
+        print(lines[-1])
+    lines += [
+        "",
+        "The `collective-permute` is the inter-stage activation handoff; it",
+        "sits inside the tick loop (static count 1, executed M + S - 1 times",
+        "per forward); the all-reduce replicates the last stage's outputs.",
+        "Gradients",
+        "through the pipeline match the sequential backward",
+        "(`tests/test_pipeline.py::test_pipelined_grad_matches_sequential`).",
+    ]
+
     lines += [
         "",
         "## Sharded serving (product surface)",
