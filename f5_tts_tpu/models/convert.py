@@ -336,14 +336,22 @@ def _export_feed_forward(out: dict, key: str, p: Params) -> None:
 
 
 def _unstack_blocks(stacked: Params) -> list[Params]:
-    import jax
-
     depth = jax.tree_util.tree_leaves(stacked)[0].shape[0]
     return [jax.tree.map(lambda x, i=i: np.asarray(x[i]), stacked) for i in range(depth)]
 
 
+def _to_host(params: Params) -> Params:
+    """One bulk device->host pull of the whole tree (async copies pipelined by
+    jax.device_get). Exporting leaf-by-leaf instead issues hundreds of tiny
+    blocking slice+transfer round-trips, which serialize catastrophically
+    through the axon TPU tunnel (measured: ~600 s for the base model vs
+    seconds in bulk). No-op on trees that are already numpy."""
+    return jax.device_get(params)
+
+
 def export_dit_state(params: Params) -> dict[str, np.ndarray]:
     """DiT param pytree -> MLX-named flat dict (inverse of convert_dit_state)."""
+    params = _to_host(params)
     out: dict[str, np.ndarray] = {}
     _export_linear(out, "time_embed.time_mlp.layers.0", params["time_embed"]["mlp1"])
     _export_linear(out, "time_embed.time_mlp.layers.2", params["time_embed"]["mlp2"])
@@ -362,6 +370,7 @@ def export_dit_state(params: Params) -> dict[str, np.ndarray]:
 def export_duration_state(params: Params) -> dict[str, np.ndarray]:
     """Duration param pytree -> MLX-named flat dict (inverse of
     convert_duration_state)."""
+    params = _to_host(params)
     out: dict[str, np.ndarray] = {}
     _export_text_embedding(out, "transformer.text_embed", params["text_embed"])
     _export_input_embed(out, "transformer.input_embed", params["input_embed"])
@@ -399,6 +408,7 @@ _TORCH_CONV_SUFFIXES = (".dwconv.weight", ".conv1d.0.weight", ".conv1d.2.weight"
 def export_vocos_state(params: Params) -> dict[str, np.ndarray]:
     """Vocos param pytree -> flat checkpoint in the published naming
     (inverse of convert_vocos_state; round-trip tested)."""
+    params = _to_host(params)
     out: dict[str, np.ndarray] = {}
     _export_conv1d(out, "backbone.embed", params["embed"])
     _export_norm(out, "backbone.norm", params["norm"])

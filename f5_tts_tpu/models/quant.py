@@ -67,10 +67,14 @@ def quantize_kernel(kernel: np.ndarray, bits: int, group_size: int = GROUP_SIZE)
     codes = np.rint((g - w_min[:, None, :]) / scales[:, None, :])
     codes = np.clip(codes, 0, levels)
     q = (codes - offset).astype(np.int8).reshape(d_in, d_out)
+    # host numpy leaves: the tree moves to the device in ONE batch at the
+    # first jit call. Returning jnp arrays here costs a device put per tensor
+    # (and the save path immediately pulls them back), which serializes
+    # catastrophically through the axon TPU tunnel.
     return {
-        "q": jnp.asarray(q),
-        "scales": jnp.asarray(scales),
-        "biases": jnp.asarray(w_min + offset * scales),
+        "q": q,
+        "scales": scales,
+        "biases": (w_min + offset * scales).astype(np.float32),
     }
 
 
@@ -115,9 +119,19 @@ def quantize_tree(params: Params, bits: int) -> Params:
     as the reference's nn.Linear class predicate. The scan-stacked "blocks"
     subtree (leading depth axis on every leaf) is unstacked, quantized per
     layer, and restacked so lax.scan slices quantized leaves naturally.
+
+    The whole tree is pulled to the host in ONE bulk device_get first; the
+    quantization math and the unstack/restack then run on numpy (per-leaf
+    device slices serialize catastrophically through the axon TPU tunnel),
+    and the quantized tree moves back to the device in one batch at the
+    first jit call.
     """
+    return _quantize_tree_host(jax.device_get(params), bits)
+
+
+def _quantize_tree_host(params: Params, bits: int) -> Params:
     if isinstance(params, dict):
-        if "kernel" in params and quantizable(jnp.shape(params["kernel"])):
+        if "kernel" in params and quantizable(np.shape(params["kernel"])):
             out = quantize_kernel(np.asarray(params["kernel"]), bits)
             if "bias" in params:
                 out["bias"] = params["bias"]
@@ -127,15 +141,15 @@ def quantize_tree(params: Params, bits: int) -> Params:
             if k == "blocks" and isinstance(v, dict):
                 depth = jax.tree_util.tree_leaves(v)[0].shape[0]
                 layers = [
-                    quantize_tree(jax.tree.map(lambda x, i=i: x[i], v), bits)
+                    _quantize_tree_host(jax.tree.map(lambda x, i=i: np.asarray(x[i]), v), bits)
                     for i in range(depth)
                 ]
-                out[k] = jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
+                out[k] = jax.tree.map(lambda *xs: np.stack(xs), *layers)
             else:
-                out[k] = quantize_tree(v, bits)
+                out[k] = _quantize_tree_host(v, bits)
         return out
     if isinstance(params, list):
-        return [quantize_tree(v, bits) for v in params]
+        return [_quantize_tree_host(v, bits) for v in params]
     return params
 
 

@@ -71,9 +71,23 @@ def _tree_shapes(tree) -> dict:
     return {jax.tree_util.keystr(path): tuple(np.shape(leaf)) for path, leaf in flat}
 
 
+def _zeros_like_shapes(shape_tree):
+    return jax.tree.map(lambda s: np.zeros(s.shape, s.dtype), shape_tree)
+
+
 @pytest.fixture(scope="module")
 def base_params():
-    return init_dit(jax.random.key(0), BASE_CFG)
+    # Every consumer below checks key names and SHAPES only, so build the tree
+    # from eval_shape (trace-only) + zeros: a real init_dit of the 335M-param
+    # base tree costs minutes of single-core threefry on the CPU test runner.
+    return _zeros_like_shapes(jax.eval_shape(lambda k: init_dit(k, BASE_CFG), jax.random.key(0)))
+
+
+@pytest.fixture(scope="module")
+def dur_params():
+    return _zeros_like_shapes(
+        jax.eval_shape(lambda k: init_duration_transformer(k, DUR_CFG), jax.random.key(0))
+    )
 
 
 def test_manifests_are_current():
@@ -95,9 +109,8 @@ def test_quantized_export_matches_manifest(base_params, bits):
     assert _shapes(qflat) == _manifest_shapes(_load_manifest(f"model_v1_{bits}b.txt"))
 
 
-def test_duration_export_matches_manifest():
-    params = init_duration_transformer(jax.random.key(0), DUR_CFG)
-    flat = {k: np.asarray(v) for k, v in export_duration_state(params).items()}
+def test_duration_export_matches_manifest(dur_params):
+    flat = {k: np.asarray(v) for k, v in export_duration_state(dur_params).items()}
     flat["transformer.rotary_embed.inv_freq"] = rotary_inv_freq(DUR_CFG.dim_head)
     assert _shapes(flat) == _manifest_shapes(_load_manifest("duration_v2.txt"))
 
@@ -116,11 +129,10 @@ def test_synthetic_quantized_converts(base_params, bits):
     assert _tree_shapes(params) == _tree_shapes(expected)
 
 
-def test_synthetic_duration_converts():
+def test_synthetic_duration_converts(dur_params):
     raw = _synthetic(_load_manifest("duration_v2.txt"))
     params = convert_duration_state(raw, DUR_CFG)
-    expected = init_duration_transformer(jax.random.key(0), DUR_CFG)
-    assert _tree_shapes(params) == _tree_shapes(expected)
+    assert _tree_shapes(params) == _tree_shapes(dur_params)
 
 
 def test_extra_key_rejected():
