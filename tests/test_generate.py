@@ -160,6 +160,29 @@ def test_generate_does_not_mutate_caller_model(tmp_path):
     assert not model.dit_cfg.int8_compute  # caller's object untouched
 
 
+def test_generate_mesh_matches_unsharded(tmp_path):
+    """generate(mesh=...) (the CLI's --mesh-data path) must produce the same
+    waveform as the unsharded run, and must not leave the caller's model
+    sharded (shallow-copy semantics, like int8_compute)."""
+    from f5_tts_tpu.parallel.mesh import create_mesh
+
+    model = _tiny_model()
+    ref = (0.2 * np.sin(2 * np.pi * 220 * np.arange(12_000) / 24_000)).astype(np.float32)
+    ref_path = tmp_path / "ref.wav"
+    write_wav(ref_path, ref, 24_000)
+
+    kwargs = dict(
+        duration=1.5, ref_audio_path=str(ref_path), ref_audio_text="a tone",
+        steps=2, method="euler", seed=0, model=model, play=False,
+    )
+    base = generate("Hello world", **kwargs)
+    sharded = generate("Hello world", mesh=create_mesh(data=2), **kwargs)
+    np.testing.assert_allclose(sharded, base, atol=1e-5)
+    # caller's params untouched (still unsharded single-device leaves)
+    again = generate("Hello world", **kwargs)
+    np.testing.assert_allclose(again, base, atol=0)
+
+
 def test_generate_rejects_q_with_w8a8():
     with pytest.raises(ValueError, match="cannot be combined"):
         generate("hi", duration=1.0, quantization_bits=8, int8_compute=True)
