@@ -1,0 +1,209 @@
+"""AOT deployment artifacts: serialize the fused sampling pipeline with
+`jax.export` (StableHLO).
+
+`F5TTS.sample` dispatches the whole serving pipeline (conditioning prep ->
+ODE integration -> composite -> vocoder) as ONE jitted computation
+(`models/cfm.cfm_sample_e2e`). This module exports that computation — with
+the model AND vocoder weights baked in as constants — to a single
+self-contained StableHLO artifact that `jax.export.deserialize` can reload
+and run **without any Python model code, checkpoint files, or tokenizer
+assets on the serving host**. That is the production deployment story the
+reference cannot offer: its inference path needs the full MLX Python stack
+and HF checkpoint downloads at startup (reference: cfm.py:404-520,
+generate.py:113-244), while an `Exported` artifact needs only jax + the
+target runtime, and its compilation environment is pinned at export time.
+
+Shapes are baked per artifact exactly like the live jit cache is keyed: one
+(batch, padded_len, steps) bucket per export (see cfm_sample_e2e's bucketing
+contract — the true max duration stays a DYNAMIC scalar input, so one
+artifact serves every utterance that fits its bucket). Export several
+buckets for a production fleet, the same way `serve.py --warmup` pre-compiles
+them.
+
+Portability notes:
+- An artifact lowered on TPU embeds the Pallas/Mosaic flash-attention kernel
+  and runs on TPUs of the same generation family; pass `use_flash=False` to
+  lower the pure-XLA attention path instead, which also enables
+  cross-platform export (`platforms=("cpu", "tpu")`) from a CPU host.
+- Weights are embedded at the model's inference dtype (bf16 by default), so
+  the artifact is roughly checkpoint-sized.
+
+reference: no counterpart (SURVEY.md §5 lists no deployment/serialization
+subsystem in the reference; this is TPU-idiomatic scope beyond parity).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import export as jexport
+
+from f5_tts_tpu.models.cfm import F5TTS, cfm_sample_e2e, clamp_duration, sway_time_grid
+
+
+def export_sampler(
+    model: F5TTS,
+    *,
+    batch: int,
+    padded_len: int | None = None,
+    steps: int = 8,
+    method: str = "rk4",
+    cfg_strength: float = 2.0,
+    shared_noise: bool = True,
+    with_vocoder: bool = True,
+    use_flash: bool | None = None,
+    platforms: tuple[str, ...] | None = None,
+) -> jexport.Exported:
+    """Serialize one (batch, padded_len, steps) sampling bucket.
+
+    The exported computation has the signature
+
+        (cond f32[b, L, d], lens i32[b], duration i32[b], max_dur i32[],
+         text i32[b, L], ts f32[steps], seed i32[])
+            -> (mel f32[b, L, d], wave f32[b, (L-1)*hop])   # or mel only
+
+    i.e. exactly the device-side inputs `F5TTS.sample`'s fused path feeds
+    (models/cfm.py:cfm_sample_e2e); `prep_inputs` below reproduces the
+    host-side prep. `shared_noise=True` bakes the reference's fixed-seed
+    quirk (the same noise for every batch item, reference: cfm.py:369-375),
+    matching `sample(seed=...)`.
+
+    `padded_len` defaults to one duration bucket (`cfm_cfg.duration_bucket`).
+    Returns the `jax.export.Exported`; call `.serialize()` for bytes, or use
+    `save_sampler` / `load_sampler`.
+    """
+    cfg = model.dit_cfg
+    if use_flash is not None:
+        cfg = cfg.replace(use_flash_attention=use_flash)
+    bucket = model.cfm_cfg.duration_bucket
+    if padded_len is None:
+        padded_len = bucket
+    if padded_len % bucket:
+        padded_len = math.ceil(padded_len / bucket) * bucket
+    d = model.num_channels
+
+    params = model._inference_params()
+    vocoder_apply, vocoder_params = (
+        model._fused_vocoder() if with_vocoder else (None, None)
+    )
+
+    def fn(cond, lens, duration, max_dur, text, ts, seed):
+        out, _, wave = cfm_sample_e2e(
+            params,
+            cfg,
+            cond,
+            lens,
+            duration,
+            max_dur,
+            text,
+            ts,
+            None,
+            seed,
+            vocoder_params,
+            method=method,
+            cfg_strength=float(cfg_strength),
+            return_trajectory=False,
+            shared_noise=shared_noise,
+            vocoder_apply=vocoder_apply,
+        )
+        return (out, wave) if wave is not None else out
+
+    args = (
+        jax.ShapeDtypeStruct((batch, padded_len, d), jnp.float32),  # cond
+        jax.ShapeDtypeStruct((batch,), jnp.int32),  # lens
+        jax.ShapeDtypeStruct((batch,), jnp.int32),  # duration
+        jax.ShapeDtypeStruct((), jnp.int32),  # max_dur
+        jax.ShapeDtypeStruct((batch, padded_len), jnp.int32),  # text
+        jax.ShapeDtypeStruct((steps,), jnp.float32),  # ts
+        jax.ShapeDtypeStruct((), jnp.int32),  # seed
+    )
+    kwargs = {} if platforms is None else {"platforms": platforms}
+    return jexport.export(jax.jit(fn), **kwargs)(*args)
+
+
+def save_sampler(exported: jexport.Exported, path) -> None:
+    with open(path, "wb") as f:
+        f.write(exported.serialize())
+
+
+@dataclass(frozen=True)
+class SamplerSpec:
+    """The host-side knowledge a deployment needs next to the artifact —
+    recoverable from the Exported's input shapes plus the audio constants."""
+
+    batch: int
+    padded_len: int
+    steps: int
+    mel_dim: int
+    hop_length: int = 256
+    sample_rate: int = 24_000
+    max_duration: int = 4096
+
+
+def load_sampler(path) -> tuple[jexport.Exported, SamplerSpec]:
+    """Reload an artifact; returns (exported, spec). Run via
+    `exported.call(*prep_inputs(spec, ...))` — `.call` re-traces into the
+    current runtime, so it composes with jit/sharding on the serving host."""
+    with open(path, "rb") as f:
+        exported = jexport.deserialize(f.read())
+    cond_aval, _, _, _, _, ts_aval, _ = exported.in_avals
+    b, L, d = cond_aval.shape
+    return exported, SamplerSpec(batch=b, padded_len=L, steps=ts_aval.shape[0], mel_dim=d)
+
+
+def prep_inputs(
+    spec: SamplerSpec,
+    cond_mel: np.ndarray,  # [b, n, d] float mel (<= padded_len frames)
+    text_ids: np.ndarray,  # [b, nt] int ids padded with -1
+    duration: np.ndarray | int,  # [b] or scalar total frames
+    *,
+    lens: np.ndarray | None = None,
+    sway_sampling_coef: float | None = -1.0,
+    seed: int = 0,
+):
+    """Host-side prep mirroring `F5TTS.sample`'s fused path (bucketing, the
+    duration clamp, the sway time grid) for a loaded artifact. Returns the
+    positional argument tuple for `Exported.call`, plus nothing host-state —
+    tokenization happens upstream (`utils/tokenizer.py`; ids, not strings,
+    are the device contract)."""
+    cond_mel = np.asarray(cond_mel, np.float32)
+    b, n, d = cond_mel.shape
+    if (b, d) != (spec.batch, spec.mel_dim) or n > spec.padded_len:
+        raise ValueError(
+            f"cond {cond_mel.shape} does not fit artifact bucket "
+            f"[{spec.batch}, {spec.padded_len}, {spec.mel_dim}]"
+        )
+    text_np = np.asarray(text_ids, np.int32)
+    lens_np = (
+        np.full((b,), n, np.int32) if lens is None else np.asarray(lens, np.int32)
+    )
+    text_lens = (text_np != -1).sum(axis=-1).astype(np.int32)
+    lens_np = np.maximum(text_lens, lens_np)
+    if isinstance(duration, (int, np.integer)):
+        duration = np.full((b,), duration, np.int32)
+    duration = clamp_duration(duration, lens_np, text_lens, spec.max_duration)
+    max_dur = int(duration.max())
+    if max_dur > spec.padded_len:
+        raise ValueError(
+            f"max duration {max_dur} exceeds artifact bucket {spec.padded_len}"
+        )
+
+    cond = np.zeros((b, spec.padded_len, d), np.float32)
+    cond[:, :n] = cond_mel
+    text = np.full((b, spec.padded_len), -1, np.int32)
+    ncopy = min(text_np.shape[1], spec.padded_len)
+    text[:, :ncopy] = text_np[:, :ncopy]
+    ts = sway_time_grid(spec.steps, sway_sampling_coef).astype(np.float32)
+    return (
+        cond,
+        lens_np,
+        duration.astype(np.int32),
+        np.int32(max_dur),
+        text,
+        ts,
+        np.int32(seed),
+    )

@@ -1,0 +1,127 @@
+"""AOT export artifacts (f5_tts_tpu/export.py): the serialized StableHLO
+sampler must reproduce the live fused path exactly and honor the bucketing
+contract (dynamic max_dur inside one baked shape)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from f5_tts_tpu import export as E
+from f5_tts_tpu.config import CFMConfig, DiTConfig, VocosConfig
+from f5_tts_tpu.models.cfm import F5TTS
+from f5_tts_tpu.models.vocos import Vocos
+
+
+@pytest.fixture(scope="module")
+def tiny_model():
+    cfg = DiTConfig(
+        dim=64, depth=2, heads=2, dim_head=32, ff_mult=2, mel_dim=100,
+        text_num_embeds=256, text_dim=32, conv_layers=1, use_flash_attention=False,
+    )
+    voc = Vocos.init(
+        jax.random.key(1), VocosConfig(dim=64, intermediate_dim=128, num_layers=2)
+    )
+    return F5TTS.init(
+        jax.random.key(0), cfg, cfm_cfg=CFMConfig(duration_bucket=64),
+        vocab_char_map=None, vocoder=voc.decode,
+    )
+
+
+def _inputs(batch=2, frames=20, text_len=12):
+    rng = np.random.RandomState(0)
+    cond = (rng.randn(batch, frames, 100) * 0.1).astype(np.float32)
+    text = np.full((batch, text_len), -1, np.int32)
+    text[0, :5] = [5, 6, 7, 8, 9]
+    if batch > 1:
+        text[1, :3] = [1, 2, 3]
+    return cond, text
+
+
+def test_export_roundtrip_matches_live_sample(tiny_model, tmp_path):
+    exp = E.export_sampler(tiny_model, batch=2, steps=4, method="euler")
+    path = tmp_path / "sampler.bin"
+    E.save_sampler(exp, path)
+    exp2, spec = E.load_sampler(path)
+    assert (spec.batch, spec.padded_len, spec.steps, spec.mel_dim) == (2, 64, 4, 100)
+
+    cond, text = _inputs()
+    args = E.prep_inputs(spec, cond, text, 48, seed=7)
+    mel_e, wave_e = exp2.call(*args)
+
+    wave_m, _ = tiny_model.sample(
+        jnp.asarray(cond), jnp.asarray(text), duration=48, steps=4, method="euler",
+        cfg_strength=2.0, seed=7, sway_sampling_coef=-1.0, return_trajectory=False,
+    )
+    max_dur = int(args[3])
+    hop = spec.hop_length
+    np.testing.assert_allclose(
+        np.asarray(wave_m), np.asarray(wave_e)[:, : (max_dur - 1) * hop],
+        atol=1e-6, rtol=0,
+    )
+    # mel zeroed past max_dur per the fused contract
+    assert np.abs(np.asarray(mel_e)[:, max_dur:]).max() == 0.0
+
+
+def test_dynamic_max_dur_one_artifact_many_durations(tiny_model):
+    """One artifact (one baked bucket) must serve different durations — the
+    same dynamic-scalar contract the live jit cache relies on."""
+    exp = E.export_sampler(tiny_model, batch=2, steps=2, method="euler")
+    exp2 = jax.export.deserialize(exp.serialize())
+    spec = E.SamplerSpec(batch=2, padded_len=64, steps=2, mel_dim=100)
+    cond, text = _inputs()
+    for dur in (40, 56):
+        args = E.prep_inputs(spec, cond, text, dur, seed=3)
+        _, wave_e = exp2.call(*args)
+        wave_m, _ = tiny_model.sample(
+            jnp.asarray(cond), jnp.asarray(text), duration=dur, steps=2,
+            method="euler", seed=3, return_trajectory=False,
+        )
+        np.testing.assert_allclose(
+            np.asarray(wave_m), np.asarray(wave_e)[:, : (int(args[3]) - 1) * 256],
+            atol=1e-6, rtol=0,
+        )
+
+
+def test_export_mel_only(tiny_model):
+    exp = E.export_sampler(tiny_model, batch=1, steps=2, method="midpoint",
+                           with_vocoder=False)
+    exp2 = jax.export.deserialize(exp.serialize())
+    spec = E.SamplerSpec(batch=1, padded_len=64, steps=2, mel_dim=100)
+    cond, text = _inputs(batch=1)
+    text = text[:1]
+    args = E.prep_inputs(spec, cond, text, 32, seed=0)
+    mel_e = exp2.call(*args)
+    mel_m, _ = tiny_model.sample(
+        jnp.asarray(cond), jnp.asarray(text), duration=32, steps=2,
+        method="midpoint", seed=0, return_trajectory=False,
+    )
+    # mel-only model.sample returns the vocoded wave when a vocoder is set;
+    # compare against the exported mel trimmed to max_dur via the live mel
+    # path instead: rerun the live model without its vocoder
+    novoc = F5TTS(
+        tiny_model.params, tiny_model.dit_cfg,
+        cfm_cfg=tiny_model.cfm_cfg, audio_cfg=tiny_model.audio_cfg,
+        vocab_char_map=None, vocoder=None,
+    )
+    mel_live, _ = novoc.sample(
+        jnp.asarray(cond), jnp.asarray(text), duration=32, steps=2,
+        method="midpoint", seed=0, return_trajectory=False,
+    )
+    # with_vocoder toggles the fused program, so XLA reassociates a few
+    # reductions differently: bit-noise-level tolerance, not exact equality
+    np.testing.assert_allclose(
+        np.asarray(mel_live), np.asarray(mel_e)[:, : int(args[3])], atol=1e-5, rtol=0
+    )
+
+
+def test_prep_inputs_validation(tiny_model):
+    spec = E.SamplerSpec(batch=2, padded_len=64, steps=2, mel_dim=100)
+    cond, text = _inputs()
+    with pytest.raises(ValueError, match="does not fit"):
+        E.prep_inputs(spec, cond[:1], text, 48)  # wrong batch
+    with pytest.raises(ValueError, match="exceeds artifact bucket"):
+        E.prep_inputs(spec, cond, text, 200)  # duration past the bucket
+    big = np.zeros((2, 100, 100), np.float32)
+    with pytest.raises(ValueError, match="does not fit"):
+        E.prep_inputs(spec, big, text, 48)  # cond longer than the bucket
