@@ -207,3 +207,58 @@ def prep_inputs(
         ts,
         np.int32(seed),
     )
+
+
+def main(argv=None) -> None:
+    """Build a deployment artifact from a local snapshot directory:
+
+        python -m f5_tts_tpu.export --model SNAPSHOT_DIR --out sampler.bin \
+            --batch 8 --padded-len 1024 --steps 8 --method rk4
+
+    The snapshot is a `save_pretrained` directory (weights + vocab + vocoder
+    + config.json). Pass --w8a8 to bake the int8-MXU compute path into the
+    artifact, --mel-only to leave the vocoder out."""
+    import argparse
+
+    ap = argparse.ArgumentParser(description=main.__doc__)
+    ap.add_argument("--model", required=True, help="local snapshot dir (save_pretrained)")
+    ap.add_argument("--out", required=True, help="output artifact path")
+    ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument("--padded-len", type=int, default=None,
+                    help="duration bucket in frames (default: one bucket)")
+    ap.add_argument("--steps", type=int, default=8)
+    ap.add_argument("--method", default="rk4", choices=("euler", "midpoint", "rk4"))
+    ap.add_argument("--cfg", type=float, default=2.0, dest="cfg_strength")
+    ap.add_argument("--w8a8", action="store_true", help="bake int8-MXU compute")
+    ap.add_argument("--mel-only", action="store_true", help="exclude the vocoder")
+    ap.add_argument("--no-flash", action="store_true",
+                    help="lower pure-XLA attention (cross-platform artifacts)")
+    ap.add_argument("--platforms", default=None,
+                    help="comma-separated lowering platforms, e.g. cpu,tpu")
+    args = ap.parse_args(argv)
+
+    model = F5TTS.from_pretrained(args.model)
+    if args.w8a8:
+        model.dit_cfg = model.dit_cfg.replace(int8_compute=True)
+    exported = export_sampler(
+        model,
+        batch=args.batch,
+        padded_len=args.padded_len,
+        steps=args.steps,
+        method=args.method,
+        cfg_strength=args.cfg_strength,
+        with_vocoder=not args.mel_only,
+        use_flash=False if args.no_flash else None,
+        platforms=tuple(args.platforms.split(",")) if args.platforms else None,
+    )
+    save_sampler(exported, args.out)
+    cond_aval = exported.in_avals[0]
+    print(
+        f"wrote {args.out}: bucket [{cond_aval.shape[0]}, {cond_aval.shape[1]}, "
+        f"{cond_aval.shape[2]}], {args.steps} {args.method} steps, "
+        f"platforms={exported.platforms}"
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -115,6 +115,47 @@ def test_export_mel_only(tiny_model):
     )
 
 
+def test_w8a8_export_matches_live_w8a8(tiny_model):
+    """int8-MXU compute bakes into the artifact (quantization happens at
+    export time inside _inference_params) and matches the live w8a8 path."""
+    m8 = F5TTS(
+        tiny_model.params, tiny_model.dit_cfg.replace(int8_compute=True),
+        cfm_cfg=tiny_model.cfm_cfg, audio_cfg=tiny_model.audio_cfg,
+        vocab_char_map=None, vocoder=tiny_model._vocoder,
+    )
+    exp = E.export_sampler(m8, batch=2, steps=2, method="euler")
+    exp2 = jax.export.deserialize(exp.serialize())
+    spec = E.SamplerSpec(batch=2, padded_len=64, steps=2, mel_dim=100)
+    cond, text = _inputs()
+    args = E.prep_inputs(spec, cond, text, 48, seed=11)
+    _, wave_e = exp2.call(*args)
+    wave_m, _ = m8.sample(
+        jnp.asarray(cond), jnp.asarray(text), duration=48, steps=2,
+        method="euler", seed=11, return_trajectory=False,
+    )
+    np.testing.assert_allclose(
+        np.asarray(wave_m), np.asarray(wave_e)[:, : (int(args[3]) - 1) * 256],
+        atol=1e-6, rtol=0,
+    )
+
+
+def test_export_cli_from_snapshot(tiny_model, tmp_path):
+    """python -m f5_tts_tpu.export --model SNAPSHOT --out ... builds a
+    loadable artifact from a save_pretrained directory."""
+    snap = tmp_path / "snap"
+    tiny_model.save_pretrained(snap)
+    out = tmp_path / "sampler.bin"
+    E.main([
+        "--model", str(snap), "--out", str(out),
+        "--batch", "1", "--steps", "2", "--method", "euler",
+    ])
+    exported, spec = E.load_sampler(out)
+    assert (spec.batch, spec.padded_len, spec.steps) == (1, 64, 2)
+    cond, text = _inputs(batch=1)
+    mel_e, wave_e = exported.call(*E.prep_inputs(spec, cond, text, 48, seed=5))
+    assert np.isfinite(np.asarray(wave_e)).all()
+
+
 def test_prep_inputs_validation(tiny_model):
     spec = E.SamplerSpec(batch=2, padded_len=64, steps=2, mel_dim=100)
     cond, text = _inputs()
