@@ -125,15 +125,35 @@ def export_sampler(
     return jexport.export(jax.jit(fn), **kwargs)(*args)
 
 
-def save_sampler(exported: jexport.Exported, path) -> None:
+_MAGIC = b"F5X1"
+
+
+def save_sampler(exported: jexport.Exported, path, *, model: F5TTS | None = None) -> None:
+    """Write an artifact file: a tiny JSON header (the model's audio-domain
+    constants, so a non-default AudioConfig deployment trims waves with the
+    right hop — the constants cannot live inside the StableHLO) followed by
+    the serialized Exported. Pass the model to record its constants; without
+    it the 24 kHz defaults are assumed at load time."""
+    import json
+
+    meta = {}
+    if model is not None:
+        meta = {
+            "hop_length": model.audio_cfg.hop_length,
+            "sample_rate": model.audio_cfg.sample_rate,
+            "max_duration": model.cfm_cfg.max_duration,
+        }
+    header = json.dumps({"format": 1, **meta}).encode()
     with open(path, "wb") as f:
+        f.write(_MAGIC + len(header).to_bytes(4, "little") + header)
         f.write(exported.serialize())
 
 
 @dataclass(frozen=True)
 class SamplerSpec:
     """The host-side knowledge a deployment needs next to the artifact —
-    recoverable from the Exported's input shapes plus the audio constants."""
+    recovered from the Exported's input shapes plus the header's audio
+    constants (24 kHz defaults when the artifact has no header)."""
 
     batch: int
     padded_len: int
@@ -147,12 +167,25 @@ class SamplerSpec:
 def load_sampler(path) -> tuple[jexport.Exported, SamplerSpec]:
     """Reload an artifact; returns (exported, spec). Run via
     `exported.call(*prep_inputs(spec, ...))` — `.call` re-traces into the
-    current runtime, so it composes with jit/sharding on the serving host."""
+    current runtime, so it composes with jit/sharding on the serving host.
+    Accepts both headered files (save_sampler) and raw `Exported.serialize()`
+    bytes."""
+    import json
+
     with open(path, "rb") as f:
-        exported = jexport.deserialize(f.read())
+        blob = f.read()
+    meta = {}
+    if blob[:4] == _MAGIC:
+        hlen = int.from_bytes(blob[4:8], "little")
+        meta = json.loads(blob[8 : 8 + hlen].decode())
+        meta.pop("format", None)
+        blob = blob[8 + hlen :]
+    exported = jexport.deserialize(blob)
     cond_aval, _, _, _, _, ts_aval, _ = exported.in_avals
     b, L, d = cond_aval.shape
-    return exported, SamplerSpec(batch=b, padded_len=L, steps=ts_aval.shape[0], mel_dim=d)
+    return exported, SamplerSpec(
+        batch=b, padded_len=L, steps=ts_aval.shape[0], mel_dim=d, **meta
+    )
 
 
 def prep_inputs(
@@ -251,7 +284,7 @@ def main(argv=None) -> None:
         use_flash=False if args.no_flash else None,
         platforms=tuple(args.platforms.split(",")) if args.platforms else None,
     )
-    save_sampler(exported, args.out)
+    save_sampler(exported, args.out, model=model)
     cond_aval = exported.in_avals[0]
     print(
         f"wrote {args.out}: bucket [{cond_aval.shape[0]}, {cond_aval.shape[1]}, "

@@ -156,6 +156,31 @@ def test_export_cli_from_snapshot(tiny_model, tmp_path):
     assert np.isfinite(np.asarray(wave_e)).all()
 
 
+def test_header_carries_audio_constants(tmp_path):
+    """Non-default AudioConfig models record their audio-domain constants in
+    the artifact header, so deployment-side wave trimming uses the right hop
+    (the round-2 hardcoded-constants bug class, kept out of this surface)."""
+    from f5_tts_tpu.config import AudioConfig
+
+    cfg = DiTConfig(
+        dim=32, depth=1, heads=2, dim_head=16, ff_mult=2, mel_dim=80,
+        text_num_embeds=64, text_dim=16, conv_layers=1, use_flash_attention=False,
+    )
+    model = F5TTS.init(
+        jax.random.key(0), cfg,
+        cfm_cfg=CFMConfig(duration_bucket=32, max_duration=2048),
+        audio_cfg=AudioConfig(sample_rate=22_050, hop_length=240, n_mels=80),
+        vocab_char_map=None,
+    )
+    exp = E.export_sampler(model, batch=1, steps=2, method="euler",
+                           with_vocoder=False)
+    path = tmp_path / "s.bin"
+    E.save_sampler(exp, path, model=model)
+    _, spec = E.load_sampler(path)
+    assert (spec.hop_length, spec.sample_rate, spec.max_duration) == (240, 22_050, 2048)
+    assert (spec.padded_len, spec.mel_dim) == (32, 80)
+
+
 def test_prep_inputs_validation(tiny_model):
     spec = E.SamplerSpec(batch=2, padded_len=64, steps=2, mel_dim=100)
     cond, text = _inputs()
