@@ -25,6 +25,14 @@ Portability notes:
   and runs on TPUs of the same generation family; pass `use_flash=False` to
   lower the pure-XLA attention path instead, which also enables
   cross-platform export (`platforms=("cpu", "tpu")`) from a CPU host.
+  Measured caveat on this dev environment: running a DESERIALIZED
+  flash-embedded artifact routes through the axon terminal's chipless AOT
+  compiler, whose Mosaic rejects the kernel's i1 mask relayout
+  ("Invalid relayout ... vector<1x128xi1>") even though the same kernel
+  JIT-compiles and passes numerics on the chip (tools/tpu_verify.py);
+  `use_flash=False` artifacts execute end-to-end there (verified, within
+  the known bf16 flash-vs-XLA spread). Re-test flash artifacts on a
+  directly-attached TPU before fleet rollout.
 - Weights are embedded at the model's inference dtype (bf16 by default), so
   the artifact is roughly checkpoint-sized.
 
