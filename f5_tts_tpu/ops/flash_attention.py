@@ -115,8 +115,16 @@ def _make_kernel(scale: float, block_q: int, has_mask: bool, has_rope: bool):
         s = s * scale  # [BQ, n] in VMEM, float32
 
         if has_mask:
-            keep = mask_ref[0] != 0  # [1, n] (kept 2D: TPU vector layout needs >=2D)
-            s = jnp.where(keep, s, _NEG_INF)
+            # additive f32 masking rather than an i1 select: Mosaic's AOT
+            # compiler (used when executing deserialized jax.export artifacts,
+            # export.py) rejects the i1 [1, n] -> [BQ, n] broadcast relayout
+            # that `jnp.where(mask != 0, ...)` needs, while f32 broadcasts are
+            # routine. Post-softmax this is bit-identical: dropped logits sit
+            # at ~-1e30, so exp(s - m) underflows to exactly 0.0 in float32 —
+            # the same 0.0 the select produced ([1, n], kept 2D: TPU vector
+            # layout needs >= 2D).
+            drop = 1.0 - mask_ref[0].astype(jnp.float32)  # [1, n]
+            s = s - drop * 1e30
 
         m = jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp(s - m)
