@@ -42,7 +42,7 @@ import queue
 import threading
 import time
 import wave as wave_mod
-from concurrent.futures import Future
+from concurrent.futures import Future, TimeoutError as FuturesTimeoutError
 from dataclasses import dataclass, field
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
@@ -56,6 +56,16 @@ from f5_tts_tpu.generate import (
     split_sentences,
 )
 from f5_tts_tpu.utils.tokenizer import convert_char_to_pinyin
+
+# Largest accepted request body (JSON incl. base64 reference audio). Bounds
+# host memory per in-flight connection; a ~44 s 24 kHz mono WAV is ~2.8 MB
+# base64, so the default leaves generous headroom.
+MAX_BODY_BYTES = 32 << 20
+
+
+class Overloaded(RuntimeError):
+    """Raised by MicroBatcher.submit when the bounded queue is full; the HTTP
+    layer maps it to 503 + Retry-After."""
 
 
 @dataclass
@@ -85,6 +95,10 @@ class _Request:
     future: Future = field(default_factory=Future)
     # enqueue time, for the scheduler's anti-starvation aging (monotonic)
     t_submit: float = field(default_factory=time.monotonic)
+    # absolute monotonic deadline; expired requests fail with TimeoutError
+    # and are skipped by the scheduler instead of synthesized for nobody
+    # (None = filled from the batcher's request_timeout_s at submit)
+    deadline: float | None = None
 
     def group_key(self, bucket: int) -> tuple:
         # ref length doesn't key compiles (mel runs on a fixed-size window in
@@ -105,6 +119,8 @@ class MicroBatcher(threading.Thread):
         max_batch: int = 8,
         max_wait_ms: float = 50.0,
         starvation_s: float = 10.0,
+        max_queue: int = 64,
+        request_timeout_s: float = 300.0,
     ):
         super().__init__(daemon=True)
         self.model = model
@@ -115,21 +131,34 @@ class MicroBatcher(threading.Thread):
         # strict rank priority would otherwise starve stream tails forever
         # under sustained rank-0 traffic
         self.starvation_s = starvation_s
-        self.queue: queue.Queue[_Request] = queue.Queue()
-        self._stop = threading.Event()
+        # overload protection: the queue is BOUNDED — beyond max_queue
+        # pending requests, submit raises Overloaded (-> HTTP 503) instead of
+        # accumulating unserviceable work; and every request carries a
+        # deadline after which it fails fast instead of being synthesized
+        # for a client that already gave up
+        self.request_timeout_s = request_timeout_s
+        self.queue: queue.Queue[_Request] = queue.Queue(maxsize=max(1, max_queue))
+        self._stop_evt = threading.Event()  # NOT `_stop`: Thread.join() calls the internal Thread._stop
 
     def submit(self, req: _Request) -> Future:
-        self.queue.put(req)
+        if req.deadline is None and self.request_timeout_s:
+            req.deadline = req.t_submit + self.request_timeout_s
+        try:
+            self.queue.put_nowait(req)
+        except queue.Full:
+            raise Overloaded(
+                f"request queue full ({self.queue.maxsize} pending); retry later"
+            ) from None
         return req.future
 
     def stop(self):
-        self._stop.set()
+        self._stop_evt.set()
 
     def run(self):
         import time as _time
 
         pending: list[_Request] = []
-        while not self._stop.is_set():
+        while not self._stop_evt.is_set():
             if not pending:
                 try:
                     pending.append(self.queue.get(timeout=0.1))
@@ -168,6 +197,7 @@ class MicroBatcher(threading.Thread):
         dispatched before it. (Groups still run one at a time — the chip
         serializes anyway, and this backend requires a single in-flight
         computation.)"""
+        pending = self._expire(pending)
         need_prediction = [r for r in pending if r.duration_frames is None]
         if need_prediction:
             try:
@@ -214,6 +244,24 @@ class MicroBatcher(threading.Thread):
                 except queue.Empty:
                     break
         return remaining
+
+    def _expire(self, pending: list[_Request]) -> list[_Request]:
+        """Fail past-deadline requests with TimeoutError and drop anything
+        whose future is already settled (expired, cancelled, or failed during
+        duration prediction) — synthesizing for a finished future would both
+        waste a group slot and poison its group-mates' set_result."""
+        now = time.monotonic()
+        alive = []
+        for r in pending:
+            if r.future.done():
+                continue
+            if r.deadline is not None and now > r.deadline:
+                r.future.set_exception(
+                    TimeoutError("request expired before synthesis started")
+                )
+                continue
+            alive.append(r)
+        return alive
 
     def _ref_lens(self, reqs: list[_Request]) -> np.ndarray:
         hop = self.model.audio_cfg.hop_length
@@ -383,6 +431,10 @@ def make_handler(batcher: MicroBatcher, default_ref: tuple[np.ndarray, str]):
     # audio-domain arithmetic (sample-rate checks, WAV headers, seconds ->
     # frames) follows the SERVED MODEL's AudioConfig, not module constants
     acfg = batcher.model.audio_cfg
+    # longest reference the model can condition on: anything past the
+    # max_duration window would be silently truncated by the fixed mel
+    # window (_padded_refs) — reject it up front instead
+    max_ref_samples = batcher.model.cfm_cfg.max_duration * acfg.hop_length
 
     class Handler(BaseHTTPRequestHandler):
         # HTTP/1.1 so /synthesize_stream may use chunked transfer encoding;
@@ -418,10 +470,24 @@ def make_handler(batcher: MicroBatcher, default_ref: tuple[np.ndarray, str]):
         def _read_payload(self):
             try:
                 length = int(self.headers.get("Content-Length", 0))
+                if length > MAX_BODY_BYTES:
+                    self._json_error(
+                        413, f"request body exceeds {MAX_BODY_BYTES} bytes")
+                    return None
                 return json.loads(self.rfile.read(length) or b"{}")
             except (ValueError, json.JSONDecodeError):
                 self._json_error(400, "invalid JSON body")
                 return None
+
+        def _overloaded(self):
+            body = json.dumps({"error": "server overloaded; retry later"}).encode()
+            self.send_response(503)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Retry-After", "1")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+            self.close_connection = True
 
         def _resolve_ref(self, payload):
             """Returns (ref_audio, ref_text) RMS-normalized, or None after
@@ -439,6 +505,15 @@ def make_handler(batcher: MicroBatcher, default_ref: tuple[np.ndarray, str]):
                 if sr != acfg.sample_rate:
                     self._json_error(
                         400, f"reference audio must be {acfg.sample_rate} Hz")
+                    return None
+                if ref_audio.shape[0] > max_ref_samples:
+                    self._json_error(
+                        400,
+                        "reference audio is "
+                        f"{ref_audio.shape[0] / acfg.sample_rate:.1f}s; the "
+                        "model conditions on at most "
+                        f"{max_ref_samples / acfg.sample_rate:.1f}s",
+                    )
                     return None
                 if ref_audio.ndim > 1:
                     ref_audio = ref_audio.mean(axis=-1)
@@ -533,13 +608,19 @@ def make_handler(batcher: MicroBatcher, default_ref: tuple[np.ndarray, str]):
                 if req is None:
                     return
 
-                samples = batcher.submit(req).result(timeout=600)
+                samples = batcher.submit(req).result(
+                    timeout=batcher.request_timeout_s + 30
+                )
                 body = _wav_bytes(samples, acfg.sample_rate)
                 self.send_response(200)
                 self.send_header("Content-Type", "audio/wav")
                 self.send_header("Content-Length", str(len(body)))
                 self.end_headers()
                 self.wfile.write(body)
+            except Overloaded:
+                self._overloaded()
+            except (TimeoutError, FuturesTimeoutError):
+                self._json_error(504, "request expired before synthesis finished")
             except Exception as e:
                 self._json_error(500, f"synthesis failed: {e}")
 
@@ -582,7 +663,17 @@ def make_handler(batcher: MicroBatcher, default_ref: tuple[np.ndarray, str]):
                 # submit ALL sentences before streaming: compatible ones land
                 # in the same micro-batch groups (length-grouped), while the
                 # client hears sentence 0 as soon as its group finishes
-                futures = [batcher.submit(r) for r in reqs]
+                futures = []
+                try:
+                    for r in reqs:
+                        futures.append(batcher.submit(r))
+                except Overloaded:
+                    # all-or-nothing: cancel already-queued sentences (the
+                    # scheduler drops settled futures) rather than stream a
+                    # request the queue can't hold in full
+                    for f in futures:
+                        f.cancel()
+                    return self._overloaded()
             except Exception as e:
                 return self._json_error(500, f"synthesis failed: {e}")
 
@@ -593,7 +684,7 @@ def make_handler(batcher: MicroBatcher, default_ref: tuple[np.ndarray, str]):
             self._write_chunk(_wav_stream_header(acfg.sample_rate))
             try:
                 for fut in futures:
-                    pcm = _pcm16(fut.result(timeout=600))
+                    pcm = _pcm16(fut.result(timeout=batcher.request_timeout_s + 30))
                     # a zero-length chunk IS the chunked-encoding terminator —
                     # never emit one mid-stream (possible when a sentence's
                     # clamped duration leaves no generated frames)
@@ -662,7 +753,9 @@ def warmup(model, durations_sec: list[float], steps: int = 8, method: str = "rk4
 
 
 def serve(model, host: str = "0.0.0.0", port: int = 8930,
-          max_batch: int = 8, max_wait_ms: float = 50.0) -> ThreadingHTTPServer:
+          max_batch: int = 8, max_wait_ms: float = 50.0,
+          max_queue: int = 64,
+          request_timeout_s: float = 300.0) -> ThreadingHTTPServer:
     """Start the batching server (returns the running HTTPServer; call
     .shutdown() to stop)."""
     try:
@@ -672,7 +765,9 @@ def serve(model, host: str = "0.0.0.0", port: int = 8930,
         # non-24kHz model: the bundled clip can't serve as the default
         print(f"warning: {e}; requests must supply ref_audio_b64")
         default_ref = None
-    batcher = MicroBatcher(model, max_batch=max_batch, max_wait_ms=max_wait_ms)
+    batcher = MicroBatcher(model, max_batch=max_batch, max_wait_ms=max_wait_ms,
+                           max_queue=max_queue,
+                           request_timeout_s=request_timeout_s)
     batcher.start()
     httpd = ThreadingHTTPServer((host, port), make_handler(batcher, default_ref))
     httpd.batcher = batcher  # keep a handle for shutdown
@@ -690,6 +785,10 @@ def main(argv=None):
     ap.add_argument("--q", type=int, default=None)
     ap.add_argument("--max-batch", type=int, default=8)
     ap.add_argument("--max-wait-ms", type=float, default=50.0)
+    ap.add_argument("--max-queue", type=int, default=64,
+                    help="pending-request bound; beyond it requests get 503 + Retry-After")
+    ap.add_argument("--request-timeout", type=float, default=300.0,
+                    help="seconds before a queued request expires (504)")
     ap.add_argument("--w8a8", action="store_true", default=False,
                     help="int8-COMPUTE inference (see generate --w8a8)")
     ap.add_argument("--mesh-data", type=int, default=1,
@@ -718,7 +817,8 @@ def main(argv=None):
 
         model.use_mesh(create_mesh(data=args.mesh_data, model=args.mesh_model))
         print(f"serving over a {args.mesh_data}x{args.mesh_model} device mesh")
-    httpd = serve(model, args.host, args.port, args.max_batch, args.max_wait_ms)
+    httpd = serve(model, args.host, args.port, args.max_batch, args.max_wait_ms,
+                  max_queue=args.max_queue, request_timeout_s=args.request_timeout)
     if args.warmup:
         warmup(model, [float(s) for s in args.warmup.split(",")],
                steps=args.warmup_steps,
