@@ -15,7 +15,6 @@ import copy
 import datetime
 import re
 import sys
-from collections import deque
 from importlib import resources
 from threading import Event, Lock
 from typing import Literal, Optional
@@ -73,9 +72,18 @@ def estimated_duration(
 
 
 class AudioPlayer:
-    """Threaded ring-buffer player over a sounddevice OutputStream
-    (reference: generate.py:42-99). Host-side; requires the optional
-    `sounddevice` dependency."""
+    """Live playback on a sounddevice OutputStream fed from a single
+    growable contiguous ring buffer.
+
+    Covers the reference's playback capability (reference: generate.py:42-99)
+    with a different mechanism: samples live in ONE preallocated float32
+    array addressed by monotonically increasing absolute read/write cursors
+    (ring index = cursor % capacity), so the PortAudio callback is two
+    bounded vectorized copies (split at the wrap point) instead of per-chunk
+    queue bookkeeping, and arbitrarily sized queue_audio() calls cost one
+    copy each. "Drained" is a pure cursor equality (read == write) checked
+    after every callback. Host-side; requires the optional `sounddevice`
+    dependency."""
 
     def __init__(self, sample_rate: int = 24_000, buffer_size: int = 2048):
         import sounddevice as sd  # gated optional dependency
@@ -83,55 +91,94 @@ class AudioPlayer:
         self._sd = sd
         self.sample_rate = sample_rate
         self.buffer_size = buffer_size
-        self.audio_buffer: deque[np.ndarray] = deque()
-        self.buffer_lock = Lock()
+        # ~1 s of headroom to start; _reserve regrows geometrically under load
+        self._ring = np.zeros(max(8 * buffer_size, sample_rate), np.float32)
+        self._rd = 0  # absolute cursors: total samples consumed / produced
+        self._wr = 0
+        self._cursor_lock = Lock()
         self.playing = False
         self.drain_event = Event()
+        self.drain_event.set()  # nothing pending yet
+        self._stream = None
 
-    def _callback(self, outdata, frames, time, status):
-        with self.buffer_lock:
-            outdata[:, 0] = np.zeros(frames)
-            if self.audio_buffer:
-                available = min(frames, len(self.audio_buffer[0]))
-                chunk = self.audio_buffer[0][:available].copy()
-                self.audio_buffer[0] = self.audio_buffer[0][available:]
-                if len(self.audio_buffer[0]) == 0:
-                    self.audio_buffer.popleft()
-                    if not self.audio_buffer:
-                        self.drain_event.set()
-                outdata[:available, 0] = chunk
-            else:
-                self.drain_event.set()
+    # -- producer side ------------------------------------------------------
 
-    def play(self):
-        if not self.playing:
-            self.stream = self._sd.OutputStream(
-                samplerate=self.sample_rate,
-                channels=1,
-                callback=self._callback,
-                blocksize=self.buffer_size,
-            )
-            self.stream.start()
-            self.playing = True
+    def _reserve(self, extra: int) -> None:
+        """Grow the ring (holding _cursor_lock) so `extra` more samples fit;
+        pending samples are linearized to the front of the new buffer."""
+        pending = self._wr - self._rd
+        if pending + extra <= self._ring.size:
+            return
+        cap = self._ring.size
+        while pending + extra > cap:
+            cap *= 2
+        fresh = np.zeros(cap, np.float32)
+        if pending:
+            idx = (self._rd + np.arange(pending)) % self._ring.size
+            fresh[:pending] = self._ring[idx]
+        self._ring = fresh
+        self._rd, self._wr = 0, pending
+
+    def queue_audio(self, samples) -> None:
+        samples = np.asarray(samples, np.float32).reshape(-1)
+        if samples.size:
             self.drain_event.clear()
-
-    def queue_audio(self, samples):
-        self.drain_event.clear()
-        with self.buffer_lock:
-            self.audio_buffer.append(np.asarray(samples))
+            with self._cursor_lock:
+                self._reserve(samples.size)
+                cap = self._ring.size
+                at = self._wr % cap
+                head = min(samples.size, cap - at)
+                self._ring[at : at + head] = samples[:head]
+                if samples.size > head:
+                    self._ring[: samples.size - head] = samples[head:]
+                self._wr += samples.size
         if not self.playing:
             self.play()
+
+    # -- consumer side (PortAudio thread) ------------------------------------
+
+    def _callback(self, outdata, frames, time, status):
+        outdata[:, 0] = 0.0  # underruns play silence
+        with self._cursor_lock:
+            take = min(frames, self._wr - self._rd)
+            if take:
+                cap = self._ring.size
+                at = self._rd % cap
+                head = min(take, cap - at)
+                outdata[:head, 0] = self._ring[at : at + head]
+                if take > head:
+                    outdata[head:take, 0] = self._ring[: take - head]
+                self._rd += take
+            if self._rd == self._wr:
+                self.drain_event.set()
+
+    # -- lifecycle ------------------------------------------------------------
+
+    def play(self) -> None:
+        if self.playing:
+            return
+        self._stream = self._sd.OutputStream(
+            samplerate=self.sample_rate,
+            channels=1,
+            callback=self._callback,
+            blocksize=self.buffer_size,
+        )
+        self._stream.start()
+        self.playing = True
 
     def wait_for_drain(self):
         return self.drain_event.wait()
 
-    def stop(self):
-        if self.playing:
-            self.wait_for_drain()
-            self._sd.sleep(100)
-            self.stream.stop()
-            self.stream.close()
-            self.playing = False
+    def stop(self) -> None:
+        if not self.playing:
+            return
+        self.wait_for_drain()
+        # PortAudio's StopStream blocks until buffers already handed to the
+        # device finish playing, so no flush sleep is needed here.
+        self._stream.stop()
+        self._stream.close()
+        self._stream = None
+        self.playing = False
 
 
 # ------------------------------------------------------------------ generation
