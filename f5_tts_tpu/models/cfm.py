@@ -787,13 +787,37 @@ class F5TTS:
             )
         y0 = y0 * dur_mask[..., None]
 
+        text_dev = jnp.asarray(text_ids)
+        if self._mesh is not None:
+            # same DP treatment as the fused path above: pad the batch to a
+            # multiple of the data axis (replicating row 0; trimmed below) and
+            # place every batched input with the data sharding, so the
+            # segmented integration partitions over the mesh instead of
+            # silently running unsharded (round-3 finding).
+            from f5_tts_tpu.parallel.mesh import batch_sharding
+
+            dp = self._mesh.shape["data"]
+            pad_b = -batch % dp
+            arrays = [step_cond, cond, cond_mask, dur_mask, text_dev, y0]
+            if pad_b:
+                arrays = [
+                    jnp.concatenate(
+                        [a, jnp.broadcast_to(a[:1], (pad_b,) + a.shape[1:])]
+                    )
+                    for a in arrays
+                ]
+            sh = batch_sharding(self._mesh)
+            step_cond, cond, cond_mask, dur_mask, text_dev, y0 = (
+                jax.device_put(a, sh) for a in arrays
+            )
+
         def integrate(y_start, ts_seg, cfg):
             return cfm_sample_mel(
                 self._inference_params(),
                 self.dit_cfg,
                 y_start,
                 step_cond,
-                jnp.asarray(text_ids),
+                text_dev,
                 dur_mask,
                 jnp.asarray(ts_seg),
                 method=method,
@@ -817,12 +841,20 @@ class F5TTS:
             pieces.append(seg if not pieces else seg[1:])  # drop dup boundary
             y_cur = seg[-1]
             i = j
-        trajectory = jnp.concatenate(pieces, axis=0)
-
-        sampled = trajectory[-1]
+        # y_cur is the final integration state in BOTH trajectory modes; with
+        # return_trajectory=False each segment yields only its end state
+        # ([1, b, n, d]), so concatenating `seg[1:]` pieces would reduce to
+        # the FIRST segment's end state — never read the concat for the result
+        sampled = y_cur
+        trajectory = (
+            jnp.concatenate(pieces, axis=0) if return_trajectory else y_cur[None]
+        )
         out = jnp.where(cond_mask, cond, sampled)
 
-        # trim bucket padding away
+        # trim DP padding rows and bucket padding away
+        if out.shape[0] != batch:
+            out = out[:batch]
+            trajectory = trajectory[:, :batch]
         out = out[:, :max_dur]
         trajectory = trajectory[:, :, :max_dur]
 

@@ -52,3 +52,37 @@ def test_interval_covering_nothing_equals_cfg_zero(model):
     o1, _ = _sample(model, cfg_interval=(2.0, 3.0))  # never active
     o2, _ = _sample(model, cfg_strength=0.0)
     np.testing.assert_allclose(o1, o2, atol=1e-5)
+
+
+def test_no_trajectory_returns_final_state(model):
+    """return_trajectory=False (what generate --cfg-interval uses) must yield
+    the SAME final mel as the trajectory mode: each segment then returns only
+    its end state, and a naive concat of segment pieces collapses to the
+    FIRST segment's end state (round-4 regression)."""
+    o_traj, t_full = _sample(model, cfg_interval=(0.0, 0.5))
+    o_last, t_last = _sample(model, cfg_interval=(0.0, 0.5), return_trajectory=False)
+    np.testing.assert_allclose(o_traj, o_last, atol=1e-5)
+    assert t_last.shape[0] == 1  # just the final state
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs >=4 (virtual) devices")
+def test_cfg_interval_composes_with_mesh(model):
+    """The segmented-CFG path gets the same DP batch padding + device_put
+    sharding as the fused path (round-3 weak #3): a 3-item batch on a 4-way
+    data mesh must match single-device output."""
+    from f5_tts_tpu.parallel.mesh import create_mesh
+
+    cond = 0.5 * jax.random.normal(jax.random.key(2), (3, 16, 100))
+    text = jnp.array([[7, 12, 3], [4, 5, -1], [9, -1, -1]])
+    durs = np.array([48, 40, 56], np.int32)
+
+    def run(m):
+        out, _ = m.sample(cond, text, duration=durs, steps=6, method="euler",
+                          seed=3, cfg_interval=(0.0, 0.5), return_trajectory=False)
+        return np.asarray(out)
+
+    out_ref = run(model)
+    sharded = F5TTS(model.params, TINY, cfm_cfg=CFMConfig(duration_bucket=64))
+    sharded.use_mesh(create_mesh(data=4))
+    out_sh = run(sharded)
+    np.testing.assert_allclose(out_ref, out_sh, atol=2e-4, rtol=2e-4)
