@@ -175,6 +175,27 @@ class Stream:
 
         return Stream(gen)
 
+    def shard(self, global_batch: int, sl: slice) -> "Stream":
+        """Keep only the items landing in `sl` of every COMPLETE
+        `global_batch`-item window — the per-process slice of each global
+        batch for multi-host training
+        (parallel/distributed.process_local_batch_slice). Applied BEFORE
+        decode, so each host decodes only its own items; requires the
+        upstream stream to be deterministic across processes (seeded
+        shuffle + identical file listing). A partial final window is dropped
+        on EVERY process — emitting it would hand processes unequal step
+        counts and deadlock the training collectives."""
+
+        def gen():
+            win: list = []
+            for item in self._factory():
+                win.append(item)
+                if len(win) == global_batch:
+                    yield from win[sl]
+                    win = []
+
+        return Stream(gen)
+
     def prefetch(self, prefetch_size: int = 2) -> "Stream":
         """Background-thread prefetch queue decoupling host I/O from the
         device step (the role of mlx.data's internal worker threads)."""
@@ -309,22 +330,50 @@ def make_training_pipeline(
     seed: int | None = None,
     drop_remainder: bool = True,
     on_device_mel: bool = False,
+    shard_by_process: bool = False,
 ) -> Stream:
     """The full driver pipeline (reference: train_libritts_small.py:44-52):
-    repeat -> shuffle -> threaded decode -> batch(pad) -> pad_to_multiple ->
-    prefetch. drop_remainder defaults True so batches stay shardable over a
-    data-parallel mesh axis. on_device_mel=True yields raw-audio batches for
-    trainers running the mel front-end inside the jitted step (pass
-    on_device_mel=True to F5TTSTrainer.train as well)."""
+    repeat -> shuffle -> [process shard] -> threaded decode -> batch(pad) ->
+    pad_to_multiple -> prefetch. drop_remainder defaults True so batches stay
+    shardable over a data-parallel mesh axis. on_device_mel=True yields
+    raw-audio batches for trainers running the mel front-end inside the
+    jitted step (pass on_device_mel=True to F5TTSTrainer.train as well).
+
+    shard_by_process=True is the multi-host data contract: `batch_size` is
+    the GLOBAL batch, and each process yields only its
+    `process_local_batch_slice` of every global batch (decoding only its own
+    items). Requires a seed — the pre-shard stream must be identical on every
+    process — and a global batch divisible by the process count; feed the
+    local batches to `jax.make_array_from_process_local_data` (or a
+    process-spanning mesh's batch sharding) on the training side."""
     from f5_tts_tpu.data.libritts import decode_sample
+
+    stream = samples.repeat(epochs).shuffle(shuffle_buffer, seed=seed)
+    local_batch = batch_size
+    if shard_by_process:
+        import jax
+
+        from f5_tts_tpu.parallel.distributed import process_local_batch_slice
+
+        if seed is None:
+            raise ValueError(
+                "shard_by_process requires a seed: every process must see the "
+                "same shuffled order for the batch slices to partition it"
+            )
+        if batch_size % jax.process_count():
+            raise ValueError(
+                f"global batch {batch_size} is not divisible by "
+                f"process_count={jax.process_count()}"
+            )
+        sl = process_local_batch_slice(batch_size)
+        stream = stream.shard(batch_size, sl)
+        local_batch = sl.stop - sl.start
 
     collate = collate_raw_audio_batch if on_device_mel else collate_audio_batch
     return (
-        samples.repeat(epochs)
-        .shuffle(shuffle_buffer, seed=seed)
-        .map(decode_sample, num_threads=num_threads)
+        stream.map(decode_sample, num_threads=num_threads)
         .batch(
-            batch_size,
+            local_batch,
             lambda b: collate(b, pad_frame_multiple),
             drop_remainder=drop_remainder,
         )
