@@ -42,6 +42,7 @@ subsystem in the reference; this is TPU-idiomatic scope beyond parity).
 
 from __future__ import annotations
 
+import dataclasses
 import math
 from dataclasses import dataclass
 
@@ -65,6 +66,7 @@ def export_sampler(
     with_vocoder: bool = True,
     use_flash: bool | None = None,
     platforms: tuple[str, ...] | None = None,
+    embed_weights: bool = True,
 ) -> jexport.Exported:
     """Serialize one (batch, padded_len, steps) sampling bucket.
 
@@ -79,6 +81,14 @@ def export_sampler(
     host-side prep. `shared_noise=True` bakes the reference's fixed-seed
     quirk (the same noise for every batch item, reference: cfm.py:369-375),
     matching `sample(seed=...)`.
+
+    `embed_weights=False` exports with the weight pytree as a LEADING
+    argument instead of baked constants: the call signature gains a
+    `weights` pytree up front, the StableHLO stays small (fast AOT compiles,
+    one weights payload shared by a fleet's many bucket artifacts), and
+    `save_sampler` stores the weights beside the program in the same file —
+    `load_sampler` then returns a bound sampler whose `.call` takes only the
+    device args above, so serving code is identical either way.
 
     `padded_len` defaults to one duration bucket (`cfm_cfg.duration_bucket`).
     Returns the `jax.export.Exported`; call `.serialize()` for bytes, or use
@@ -99,7 +109,7 @@ def export_sampler(
         model._fused_vocoder() if with_vocoder else (None, None)
     )
 
-    def fn(cond, lens, duration, max_dur, text, ts, seed):
+    def run(params, vocoder_params, cond, lens, duration, max_dur, text, ts, seed):
         out, _, wave = cfm_sample_e2e(
             params,
             cfg,
@@ -130,7 +140,31 @@ def export_sampler(
         jax.ShapeDtypeStruct((), jnp.int32),  # seed
     )
     kwargs = {} if platforms is None else {"platforms": platforms}
-    return jexport.export(jax.jit(fn), **kwargs)(*args)
+
+    if embed_weights:
+        def fn(cond, lens, duration, max_dur, text, ts, seed):
+            return run(params, vocoder_params, cond, lens, duration, max_dur,
+                       text, ts, seed)
+
+        return jexport.export(jax.jit(fn), **kwargs)(*args)
+
+    # weights-as-arguments: the program stays kilobytes of StableHLO instead
+    # of embedding hundreds of MB of constants — compiles fast everywhere
+    # (base-scale embedded artifacts exceed e.g. the axon dev tunnel's
+    # remote-compile body cap), and a fleet serving several (batch, bucket)
+    # artifacts ships ONE weights payload, not one per bucket
+    weights = {"model": params}
+    if vocoder_params is not None:
+        weights["vocoder"] = vocoder_params
+
+    def fn(weights, cond, lens, duration, max_dur, text, ts, seed):
+        return run(weights["model"], weights.get("vocoder"), cond, lens,
+                   duration, max_dur, text, ts, seed)
+
+    w_avals = jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(jnp.shape(x), x.dtype), weights
+    )
+    return jexport.export(jax.jit(fn), **kwargs)(w_avals, *args)
 
 
 _MAGIC = b"F5X1"
@@ -140,9 +174,12 @@ def save_sampler(exported: jexport.Exported, path, *, model: F5TTS | None = None
     """Write an artifact file: a tiny JSON header (the model's audio-domain
     constants, so a non-default AudioConfig deployment trims waves with the
     right hop — the constants cannot live inside the StableHLO) followed by
-    the serialized Exported. Pass the model to record its constants; without
-    it the 24 kHz defaults are assumed at load time."""
+    the serialized Exported. Pass the model so the header records its true
+    constants; omitting it assumes the 24 kHz defaults at load time, which is
+    WRONG for any non-default AudioConfig — a warning is emitted because that
+    mistake is invisible until deployment-side wave trimming garbles audio."""
     import json
+    import warnings
 
     meta = {}
     if model is not None:
@@ -150,7 +187,16 @@ def save_sampler(exported: jexport.Exported, path, *, model: F5TTS | None = None
             "hop_length": model.audio_cfg.hop_length,
             "sample_rate": model.audio_cfg.sample_rate,
             "max_duration": model.cfm_cfg.max_duration,
+            "text_num_embeds": model.dit_cfg.text_num_embeds,
         }
+    else:
+        warnings.warn(
+            "save_sampler called without model=: the artifact header will carry "
+            "no audio constants or vocab size, so loaders assume 24 kHz / hop 256 "
+            "defaults and skip text-id range validation. Pass the model unless "
+            "it uses the default AudioConfig.",
+            stacklevel=2,
+        )
     header = json.dumps({"format": 1, **meta}).encode()
     with open(path, "wb") as f:
         f.write(_MAGIC + len(header).to_bytes(4, "little") + header)
@@ -170,6 +216,9 @@ class SamplerSpec:
     hop_length: int = 256
     sample_rate: int = 24_000
     max_duration: int = 4096
+    # Vocab size for host-side text-id range validation (None = header
+    # predates the field / was written without model=; validation is skipped).
+    text_num_embeds: int | None = None
 
 
 def load_sampler(path) -> tuple[jexport.Exported, SamplerSpec]:
@@ -186,7 +235,16 @@ def load_sampler(path) -> tuple[jexport.Exported, SamplerSpec]:
     if blob[:4] == _MAGIC:
         hlen = int.from_bytes(blob[4:8], "little")
         meta = json.loads(blob[8 : 8 + hlen].decode())
-        meta.pop("format", None)
+        fmt = meta.pop("format", None)
+        if fmt != 1:
+            raise ValueError(
+                f"unsupported sampler-artifact header format {fmt!r} "
+                "(this loader understands format 1)"
+            )
+        # ignore unknown header keys so format-1 headers may gain fields
+        # without breaking older loaders
+        known = {f.name for f in dataclasses.fields(SamplerSpec)}
+        meta = {k: v for k, v in meta.items() if k in known}
         blob = blob[8 + hlen :]
     exported = jexport.deserialize(blob)
     cond_aval, _, _, _, _, ts_aval, _ = exported.in_avals
@@ -219,6 +277,16 @@ def prep_inputs(
             f"[{spec.batch}, {spec.padded_len}, {spec.mel_dim}]"
         )
     text_np = np.asarray(text_ids, np.int32)
+    # host-side vocab check mirroring the live path (F5TTS._validate_text_ids):
+    # the baked embedding gather clips, so an out-of-vocab id would silently
+    # alias the last embedding on a serving host without this.
+    if spec.text_num_embeds is not None and text_np.size:
+        if int(text_np.max()) >= spec.text_num_embeds:
+            raise ValueError(
+                f"text id {int(text_np.max())} out of range for the artifact's "
+                f"text_num_embeds={spec.text_num_embeds}; the tokenizer vocab "
+                "does not match the exported model"
+            )
     lens_np = (
         np.full((b,), n, np.int32) if lens is None else np.asarray(lens, np.int32)
     )

@@ -41,7 +41,7 @@ def _inputs(batch=2, frames=20, text_len=12):
 def test_export_roundtrip_matches_live_sample(tiny_model, tmp_path):
     exp = E.export_sampler(tiny_model, batch=2, steps=4, method="euler")
     path = tmp_path / "sampler.bin"
-    E.save_sampler(exp, path)
+    E.save_sampler(exp, path, model=tiny_model)
     exp2, spec = E.load_sampler(path)
     assert (spec.batch, spec.padded_len, spec.steps, spec.mel_dim) == (2, 64, 4, 100)
 
@@ -191,3 +191,64 @@ def test_prep_inputs_validation(tiny_model):
     big = np.zeros((2, 100, 100), np.float32)
     with pytest.raises(ValueError, match="does not fit"):
         E.prep_inputs(spec, big, text, 48)  # cond longer than the bucket
+
+
+def test_prep_inputs_vocab_range_check(tiny_model, tmp_path):
+    """The header records text_num_embeds and prep_inputs range-checks ids
+    against it, mirroring the live path's F5TTS._validate_text_ids — an
+    out-of-vocab id must fail loudly on the serving host, not silently clip
+    to the last embedding."""
+    exp = E.export_sampler(tiny_model, batch=2, steps=2, method="euler")
+    path = tmp_path / "s.bin"
+    E.save_sampler(exp, path, model=tiny_model)
+    _, spec = E.load_sampler(path)
+    assert spec.text_num_embeds == 256
+
+    cond, text = _inputs()
+    E.prep_inputs(spec, cond, text, 48)  # in-range ids pass
+    bad = text.copy()
+    bad[0, 0] = 999  # >= text_num_embeds
+    with pytest.raises(ValueError, match="out of range"):
+        E.prep_inputs(spec, cond, bad, 48)
+    # headerless specs (older artifacts / raw serialize bytes) skip the check
+    E.prep_inputs(E.SamplerSpec(batch=2, padded_len=64, steps=2, mel_dim=100),
+                  cond, bad, 48)
+
+
+def test_save_sampler_without_model_warns(tiny_model, tmp_path):
+    """Omitting model= bakes 24 kHz defaults into the header — legal but
+    loud, since a non-default AudioConfig deployment would trim with the
+    wrong hop (ADVICE r3)."""
+    exp = E.export_sampler(tiny_model, batch=1, steps=2, method="euler",
+                           with_vocoder=False)
+    path = tmp_path / "s.bin"
+    with pytest.warns(UserWarning, match="without model="):
+        E.save_sampler(exp, path)
+    _, spec = E.load_sampler(path)
+    assert spec.text_num_embeds is None  # nothing recorded to validate against
+
+
+def test_load_sampler_header_versioning(tiny_model, tmp_path):
+    """A future header format must raise a clear version error, and unknown
+    extra keys in a format-1 header are ignored rather than crashing
+    SamplerSpec (ADVICE r3)."""
+    import json
+
+    exp = E.export_sampler(tiny_model, batch=1, steps=2, method="euler",
+                           with_vocoder=False)
+    blob = exp.serialize()
+
+    def write(path, header: dict):
+        enc = json.dumps(header).encode()
+        with open(path, "wb") as f:
+            f.write(b"F5X1" + len(enc).to_bytes(4, "little") + enc + blob)
+
+    v2 = tmp_path / "v2.bin"
+    write(v2, {"format": 2, "hop_length": 256})
+    with pytest.raises(ValueError, match="format 2"):
+        E.load_sampler(v2)
+
+    extra = tmp_path / "extra.bin"
+    write(extra, {"format": 1, "hop_length": 128, "some_future_key": [1, 2]})
+    _, spec = E.load_sampler(extra)
+    assert spec.hop_length == 128

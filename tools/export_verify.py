@@ -1,0 +1,167 @@
+"""On-chip verification of flash-embedded jax.export artifacts (VERDICT r3 #1).
+
+A deserialized `jax.export` artifact routes through the AOT (chipless) Mosaic
+compiler rather than the JIT path, and that compiler used to reject the flash
+kernel's i1 mask relayout ("Invalid relayout ... vector<1x128xi1>") — the
+additive-f32 masking rewrite in ops/flash_attention.py:117-127 exists to fix
+exactly that. This drive proves (or disproves) the fix on real hardware:
+
+  1. small flash-capable model: export with the Pallas flash kernel embedded,
+     save_sampler -> load_sampler -> Exported.call ON THE CHIP, compare wave
+     against the live flash path and against a no-flash artifact
+  2. base config (dim 1024 x depth 22): same flash-embedded artifact drill at
+     deployment scale
+
+Run ALONE on the chip:  python tools/export_verify.py
+Exit code 0 iff every check passes; results should be reflected in
+docs/SERVING.md's deployment-artifact section.
+
+reference: no counterpart — this validates the repo's own deployment surface
+(export.py), which the reference does not have (SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+FAILURES: list[str] = []
+
+
+def check(name: str, value: float, tol: float) -> None:
+    ok = bool(value < tol)
+    print(f"{'PASS' if ok else 'FAIL'}  {name}: {value:.3e} (tol {tol:.0e})", flush=True)
+    if not ok:
+        FAILURES.append(name)
+
+
+def fail(name: str, err: BaseException) -> None:
+    msg = str(err).splitlines()[0][:200] if str(err) else type(err).__name__
+    print(f"FAIL  {name}: {type(err).__name__}: {msg}", flush=True)
+    FAILURES.append(name)
+
+
+def roundtrip_artifact(model, tmpdir, *, name, batch, steps, use_flash):
+    """export -> save_sampler -> load_sampler on-disk round trip."""
+    from f5_tts_tpu import export as E
+
+    exp = E.export_sampler(
+        model, batch=batch, steps=steps, method="euler", use_flash=use_flash
+    )
+    path = os.path.join(tmpdir, f"{name}.bin")
+    E.save_sampler(exp, path, model=model)
+    return E.load_sampler(path)
+
+
+def main() -> None:
+    from f5_tts_tpu import export as E
+    from f5_tts_tpu.config import CFMConfig, DiTConfig, F5TTS_V1_BASE, VocosConfig
+    from f5_tts_tpu.models.cfm import F5TTS
+    from f5_tts_tpu.models.vocos import Vocos
+
+    platform = jax.devices()[0].platform
+    print(f"platform: {platform}", flush=True)
+    if platform.lower() not in ("tpu", "axon"):
+        print("ERROR: this drive must run on the real chip", flush=True)
+        sys.exit(2)
+
+    rng = np.random.RandomState(0)
+
+    # -- 1. small flash-capable model (dim_head=64) ------------------------
+    small = DiTConfig(dim=256, depth=4, heads=4, dim_head=64, ff_mult=2,
+                      text_dim=128, conv_layers=1, compute_dtype="bfloat16",
+                      use_flash_attention=True)
+    voc = Vocos.init(
+        jax.random.key(1),
+        VocosConfig(dim=128, intermediate_dim=256, num_layers=2,
+                    compute_dtype="bfloat16"),
+    )
+    model = F5TTS.init(jax.random.key(0), small, cfm_cfg=CFMConfig(),
+                       vocab_char_map=None, vocoder=voc.decode)
+
+    batch, frames, dur, steps = 2, 96, 224, 4
+    cond = (rng.randn(batch, frames, 100) * 0.1).astype(np.float32)
+    text = np.full((batch, 48), -1, np.int32)
+    text[0, :7] = [5, 6, 7, 8, 9, 10, 11]
+    text[1, :3] = [1, 2, 3]
+
+    t0 = time.time()
+    wave_live, _ = model.sample(
+        jnp.asarray(cond), jnp.asarray(text), duration=dur, steps=steps,
+        method="euler", seed=7, return_trajectory=False,
+    )
+    wave_live = np.asarray(wave_live, np.float32)
+    print(f"live flash sample: {time.time() - t0:.1f}s", flush=True)
+    scale = float(np.abs(wave_live).mean())
+
+    with tempfile.TemporaryDirectory() as d:
+        # flash-embedded artifact: THE check this tool exists for
+        try:
+            t0 = time.time()
+            exp_f, spec = roundtrip_artifact(model, d, name="flash", batch=batch,
+                                             steps=steps, use_flash=True)
+            args = E.prep_inputs(spec, cond, text, dur, seed=7)
+            _, wave_f = exp_f.call(*args)
+            wave_f = np.asarray(wave_f, np.float32)[:, : wave_live.shape[1]]
+            print(f"flash artifact export+AOT call: {time.time() - t0:.1f}s", flush=True)
+            check("small flash-artifact vs live flash wave rel-MAE",
+                  float(np.abs(wave_f - wave_live).mean()) / scale, 1e-3)
+        except Exception as e:  # the historical i1-relayout Mosaic rejection
+            fail("small flash-artifact AOT execution", e)
+
+        # no-flash artifact as the control (previously verified green)
+        try:
+            exp_n, spec_n = roundtrip_artifact(model, d, name="noflash", batch=batch,
+                                               steps=steps, use_flash=False)
+            _, wave_n = exp_n.call(*E.prep_inputs(spec_n, cond, text, dur, seed=7))
+            wave_n = np.asarray(wave_n, np.float32)[:, : wave_live.shape[1]]
+            check("small no-flash artifact vs live flash wave rel-MAE (bf16 spread)",
+                  float(np.abs(wave_n - wave_live).mean()) / scale, 5e-2)
+        except Exception as e:
+            fail("small no-flash artifact AOT execution", e)
+
+    # -- 2. base config (deployment scale) ---------------------------------
+    base = F5TTS_V1_BASE.replace(compute_dtype="bfloat16")
+    base_model = F5TTS.init(jax.random.key(2), base, cfm_cfg=CFMConfig(),
+                            vocab_char_map=None, vocoder=None)
+    cond1 = (rng.randn(1, 96, 100) * 0.1).astype(np.float32)
+    text1 = np.full((1, 48), -1, np.int32)
+    text1[0, :9] = np.arange(10, 19)
+
+    t0 = time.time()
+    mel_live, _ = base_model.sample(
+        jnp.asarray(cond1), jnp.asarray(text1), duration=dur, steps=steps,
+        method="euler", seed=3, return_trajectory=False,
+    )
+    mel_live = np.asarray(mel_live, np.float32)
+    print(f"base live flash sample: {time.time() - t0:.1f}s", flush=True)
+
+    try:
+        t0 = time.time()
+        exp_b = E.export_sampler(base_model, batch=1, steps=steps, method="euler",
+                                 use_flash=True, with_vocoder=False)
+        exp_b = jax.export.deserialize(exp_b.serialize())
+        spec_b = E.SamplerSpec(batch=1, padded_len=256, steps=steps, mel_dim=100)
+        args = E.prep_inputs(spec_b, cond1, text1, dur, seed=3)
+        mel_b = np.asarray(exp_b.call(*args), np.float32)[:, : mel_live.shape[1]]
+        print(f"base flash artifact export+AOT call: {time.time() - t0:.1f}s", flush=True)
+        check("base flash-artifact vs live flash mel rel-MAE",
+              float(np.abs(mel_b - mel_live).mean()) / float(np.abs(mel_live).mean()),
+              1e-3)
+    except Exception as e:
+        fail("base flash-artifact AOT execution", e)
+
+    print("ALL PASS" if not FAILURES else f"FAILED: {FAILURES}", flush=True)
+    sys.exit(1 if FAILURES else 0)
+
+
+if __name__ == "__main__":
+    main()
