@@ -25,16 +25,20 @@ Portability notes:
   and runs on TPUs of the same generation family; pass `use_flash=False` to
   lower the pure-XLA attention path instead, which also enables
   cross-platform export (`platforms=("cpu", "tpu")`) from a CPU host.
-  Measured caveat on this dev environment: running a DESERIALIZED
-  flash-embedded artifact routes through the axon terminal's chipless AOT
-  compiler, whose Mosaic rejects the kernel's i1 mask relayout
-  ("Invalid relayout ... vector<1x128xi1>") even though the same kernel
-  JIT-compiles and passes numerics on the chip (tools/tpu_verify.py);
-  `use_flash=False` artifacts execute end-to-end there (verified, within
-  the known bf16 flash-vs-XLA spread). Re-test flash artifacts on a
-  directly-attached TPU before fleet rollout.
-- Weights are embedded at the model's inference dtype (bf16 by default), so
-  the artifact is roughly checkpoint-sized.
+  Flash-embedded artifacts execute on the AOT (chipless Mosaic) path too:
+  the additive-f32 masking kernel (ops/flash_attention.py) removed the i1
+  mask relayout that AOT Mosaic used to reject, and tools/export_verify.py
+  confirms a deserialized flash artifact runs on-chip and matches the live
+  flash path within the known bf16 spread (measured 2026-08-18; history in
+  docs/SERVING.md).
+- With `embed_weights=True` (default) weights are embedded at the model's
+  inference dtype (bf16 by default), so the artifact — and the StableHLO
+  program a remote AOT compiler must ingest — is roughly checkpoint-sized.
+  Remote-compile services with request-size caps (e.g. the axon dev
+  tunnel's HTTP body limit, measured: base-scale embedded artifacts get
+  413) need `embed_weights=False`: the program stays kilobytes and the
+  weights ride beside it in the same file as a payload `load_sampler`
+  re-binds.
 
 reference: no counterpart (SURVEY.md §5 lists no deployment/serialization
 subsystem in the reference; this is TPU-idiomatic scope beyond parity).
@@ -169,15 +173,65 @@ def export_sampler(
 
 _MAGIC = b"F5X1"
 
+# fixed device-arg signature of every exported sampler:
+# (cond, lens, duration, max_dur, text, ts, seed)
+_N_CALL_ARGS = 7
 
-def save_sampler(exported: jexport.Exported, path, *, model: F5TTS | None = None) -> None:
+
+def _leaf_dtype(name: str) -> np.dtype:
+    """Resolve a recorded leaf dtype, including the ml_dtypes families
+    (bfloat16, float8_*) numpy itself does not name."""
+    try:
+        return np.dtype(name)
+    except TypeError:
+        import ml_dtypes
+
+        return np.dtype(getattr(ml_dtypes, name))
+
+
+def _weights_pytree(model: F5TTS, exported: jexport.Exported):
+    """Rebuild the weights pytree an `embed_weights=False` export consumed.
+
+    The Exported carries only the weight AVALS (shapes/dtypes), never the
+    arrays, so saving needs the model to materialize them; the rebuilt tree
+    is validated leaf-by-leaf against the program's leading input avals so a
+    mismatched model fails loudly here instead of garbling audio on a
+    serving host."""
+    n_w = len(exported.in_avals) - _N_CALL_ARGS
+    params = model._inference_params()
+    candidates = [{"model": params}]
+    _, vocoder_params = model._fused_vocoder()
+    if vocoder_params is not None:
+        candidates.insert(0, {"model": params, "vocoder": vocoder_params})
+    for weights in candidates:
+        leaves = jax.tree.leaves(weights)
+        if len(leaves) != n_w:
+            continue
+        if all(
+            jnp.shape(leaf) == aval.shape and jnp.asarray(leaf).dtype == aval.dtype
+            for leaf, aval in zip(leaves, exported.in_avals[:n_w])
+        ):
+            return weights
+    raise ValueError(
+        "model weights do not match the artifact's weight inputs "
+        f"({n_w} leading avals); was the artifact exported from this model?"
+    )
+
+
+def save_sampler(
+    exported: jexport.Exported, path, *, model: F5TTS | None = None
+) -> None:
     """Write an artifact file: a tiny JSON header (the model's audio-domain
     constants, so a non-default AudioConfig deployment trims waves with the
-    right hop — the constants cannot live inside the StableHLO) followed by
-    the serialized Exported. Pass the model so the header records its true
-    constants; omitting it assumes the 24 kHz defaults at load time, which is
-    WRONG for any non-default AudioConfig — a warning is emitted because that
-    mistake is invisible until deployment-side wave trimming garbles audio."""
+    right hop — the constants cannot live inside the StableHLO), then, for
+    `embed_weights=False` exports, the weights payload (raw little-endian
+    leaf bytes, layout recorded in the header — safetensors' numpy loader
+    cannot read BF16), then the serialized Exported. Pass the model so the
+    header records its true constants; omitting it assumes the 24 kHz
+    defaults at load time, which is WRONG for any non-default AudioConfig —
+    a warning is emitted because that mistake is invisible until
+    deployment-side wave trimming garbles audio. Weights-as-args exports
+    REQUIRE the model (the Exported carries only the weight avals)."""
     import json
     import warnings
 
@@ -197,9 +251,27 @@ def save_sampler(exported: jexport.Exported, path, *, model: F5TTS | None = None
             "it uses the default AudioConfig.",
             stacklevel=2,
         )
+
+    weight_blobs: list[bytes] = []
+    if len(exported.in_avals) > _N_CALL_ARGS:
+        if model is None:
+            raise ValueError(
+                "this artifact was exported with embed_weights=False; "
+                "save_sampler needs model= to store the weights payload"
+            )
+        leaves = jax.tree.leaves(_weights_pytree(model, exported))
+        wmeta = []
+        for leaf in leaves:
+            arr = np.ascontiguousarray(np.asarray(leaf))
+            wmeta.append({"dtype": str(arr.dtype), "shape": list(arr.shape)})
+            weight_blobs.append(arr.tobytes())
+        meta["weights"] = wmeta
+
     header = json.dumps({"format": 1, **meta}).encode()
     with open(path, "wb") as f:
         f.write(_MAGIC + len(header).to_bytes(4, "little") + header)
+        for blob in weight_blobs:
+            f.write(blob)
         f.write(exported.serialize())
 
 
@@ -221,17 +293,44 @@ class SamplerSpec:
     text_num_embeds: int | None = None
 
 
-def load_sampler(path) -> tuple[jexport.Exported, SamplerSpec]:
-    """Reload an artifact; returns (exported, spec). Run via
-    `exported.call(*prep_inputs(spec, ...))` — `.call` re-traces into the
+class BoundSampler:
+    """A weights-as-args artifact re-bound to its stored weights payload:
+    `.call` takes the same 7 device args as an embedded-weights Exported, so
+    serving code is identical for both artifact flavors. The weight leaves
+    are prepended in the program's own flatten order via its `in_tree`."""
+
+    def __init__(self, exported: jexport.Exported, weight_leaves: list):
+        self.exported = exported
+        self._weight_leaves = list(weight_leaves)
+
+    @property
+    def in_avals(self):
+        return self.exported.in_avals[len(self._weight_leaves) :]
+
+    @property
+    def platforms(self):
+        return self.exported.platforms
+
+    def call(self, *args):
+        full_args, kwargs = jax.tree.unflatten(
+            self.exported.in_tree, self._weight_leaves + list(args)
+        )
+        return self.exported.call(*full_args, **kwargs)
+
+
+def load_sampler(path) -> tuple[jexport.Exported | BoundSampler, SamplerSpec]:
+    """Reload an artifact; returns (sampler, spec). Run via
+    `sampler.call(*prep_inputs(spec, ...))` — `.call` re-traces into the
     current runtime, so it composes with jit/sharding on the serving host.
-    Accepts both headered files (save_sampler) and raw `Exported.serialize()`
-    bytes."""
+    Weights-as-args artifacts come back as a `BoundSampler` (same `.call`
+    contract). Accepts both headered files (save_sampler) and raw
+    `Exported.serialize()` bytes."""
     import json
 
     with open(path, "rb") as f:
         blob = f.read()
     meta = {}
+    wmeta = None
     if blob[:4] == _MAGIC:
         hlen = int.from_bytes(blob[4:8], "little")
         meta = json.loads(blob[8 : 8 + hlen].decode())
@@ -241,15 +340,41 @@ def load_sampler(path) -> tuple[jexport.Exported, SamplerSpec]:
                 f"unsupported sampler-artifact header format {fmt!r} "
                 "(this loader understands format 1)"
             )
+        wmeta = meta.pop("weights", None)
         # ignore unknown header keys so format-1 headers may gain fields
         # without breaking older loaders
         known = {f.name for f in dataclasses.fields(SamplerSpec)}
         meta = {k: v for k, v in meta.items() if k in known}
         blob = blob[8 + hlen :]
+
+    weight_leaves = []
+    if wmeta:
+        pos = 0
+        for entry in wmeta:
+            dt = _leaf_dtype(entry["dtype"])
+            count = int(np.prod(entry["shape"], dtype=np.int64)) if entry["shape"] else 1
+            nbytes = dt.itemsize * count
+            weight_leaves.append(
+                np.frombuffer(blob, dtype=dt, count=count, offset=pos).reshape(
+                    entry["shape"]
+                )
+            )
+            pos += nbytes
+        blob = blob[pos:]
+
     exported = jexport.deserialize(blob)
-    cond_aval, _, _, _, _, ts_aval, _ = exported.in_avals
+    sampler: jexport.Exported | BoundSampler = exported
+    if wmeta:
+        n_w = len(exported.in_avals) - _N_CALL_ARGS
+        if n_w != len(weight_leaves):
+            raise ValueError(
+                f"artifact stores {len(weight_leaves)} weight leaves but the "
+                f"program expects {n_w}"
+            )
+        sampler = BoundSampler(exported, weight_leaves)
+    cond_aval, ts_aval = exported.in_avals[-7], exported.in_avals[-2]
     b, L, d = cond_aval.shape
-    return exported, SamplerSpec(
+    return sampler, SamplerSpec(
         batch=b, padded_len=L, steps=ts_aval.shape[0], mel_dim=d, **meta
     )
 
@@ -342,6 +467,11 @@ def main(argv=None) -> None:
     ap.add_argument("--mel-only", action="store_true", help="exclude the vocoder")
     ap.add_argument("--no-flash", action="store_true",
                     help="lower pure-XLA attention (cross-platform artifacts)")
+    ap.add_argument("--external-weights", action="store_true",
+                    help="export weights as program ARGUMENTS stored beside the "
+                         "StableHLO in the same file: the program stays small "
+                         "(kilobytes vs checkpoint-sized), which remote AOT "
+                         "compilers with request-size caps require at base scale")
     ap.add_argument("--platforms", default=None,
                     help="comma-separated lowering platforms, e.g. cpu,tpu")
     args = ap.parse_args(argv)
@@ -359,13 +489,15 @@ def main(argv=None) -> None:
         with_vocoder=not args.mel_only,
         use_flash=False if args.no_flash else None,
         platforms=tuple(args.platforms.split(",")) if args.platforms else None,
+        embed_weights=not args.external_weights,
     )
     save_sampler(exported, args.out, model=model)
-    cond_aval = exported.in_avals[0]
+    cond_aval = exported.in_avals[-7]
     print(
         f"wrote {args.out}: bucket [{cond_aval.shape[0]}, {cond_aval.shape[1]}, "
         f"{cond_aval.shape[2]}], {args.steps} {args.method} steps, "
         f"platforms={exported.platforms}"
+        + (" (external weights)" if args.external_weights else "")
     )
 
 

@@ -228,6 +228,105 @@ def test_save_sampler_without_model_warns(tiny_model, tmp_path):
     assert spec.text_num_embeds is None  # nothing recorded to validate against
 
 
+def test_external_weights_roundtrip_matches_embedded(tiny_model, tmp_path):
+    """embed_weights=False stores the weight pytree as a payload beside a
+    small StableHLO program; the loaded BoundSampler must reproduce the
+    embedded-weights artifact exactly, and the program portion must actually
+    be small (the point: base-scale embedded programs exceed remote AOT
+    compilers' request caps)."""
+    emb = E.export_sampler(tiny_model, batch=2, steps=2, method="euler")
+    ext = E.export_sampler(tiny_model, batch=2, steps=2, method="euler",
+                           embed_weights=False)
+    assert len(ext.in_avals) > len(emb.in_avals)  # weights became inputs
+    # the weights-as-args PROGRAM is a fraction of the embedded one
+    assert len(ext.serialize()) < 0.5 * len(emb.serialize())
+
+    p_emb, p_ext = tmp_path / "emb.bin", tmp_path / "ext.bin"
+    E.save_sampler(emb, p_emb, model=tiny_model)
+    E.save_sampler(ext, p_ext, model=tiny_model)
+
+    s_emb, spec_emb = E.load_sampler(p_emb)
+    s_ext, spec_ext = E.load_sampler(p_ext)
+    assert isinstance(s_ext, E.BoundSampler)
+    assert spec_ext == spec_emb  # same device-arg spec either way
+
+    cond, text = _inputs()
+    args = E.prep_inputs(spec_ext, cond, text, 48, seed=7)
+    mel_a, wave_a = s_emb.call(*args)
+    mel_b, wave_b = s_ext.call(*args)
+    # weights as ARGUMENTS vs CONSTANTS changes XLA's bf16 constant folding /
+    # fusion choices, so outputs match to bf16 reassociation noise, not bits
+    np.testing.assert_allclose(np.asarray(wave_a), np.asarray(wave_b),
+                               atol=2e-4, rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(mel_a), np.asarray(mel_b),
+                               atol=2e-4, rtol=2e-4)
+
+
+def test_external_weights_save_requires_model(tiny_model, tmp_path):
+    """A weights-as-args Exported carries only the weight AVALS; saving it
+    without the model (the arrays) must fail loudly."""
+    ext = E.export_sampler(tiny_model, batch=1, steps=2, method="euler",
+                           with_vocoder=False, embed_weights=False)
+    with pytest.raises(ValueError, match="embed_weights=False"):
+        with pytest.warns(UserWarning, match="without model="):
+            E.save_sampler(ext, tmp_path / "x.bin")
+
+
+def test_external_weights_mel_only_and_cli(tiny_model, tmp_path):
+    """--external-weights over the CLI, mel-only flavor: the vocoder-less
+    weights pytree round-trips and the loaded sampler runs."""
+    snap = tmp_path / "snap"
+    tiny_model.save_pretrained(snap)
+    out = tmp_path / "ext.bin"
+    E.main([
+        "--model", str(snap), "--out", str(out),
+        "--batch", "1", "--steps", "2", "--method", "euler",
+        "--mel-only", "--external-weights",
+    ])
+    sampler, spec = E.load_sampler(out)
+    assert isinstance(sampler, E.BoundSampler)
+    cond, text = _inputs(batch=1)
+    mel = sampler.call(*E.prep_inputs(spec, cond, text, 48, seed=5))
+    assert np.isfinite(np.asarray(mel)).all()
+
+
+def test_artifact_composes_with_mesh_dp(tiny_model, tmp_path):
+    """A deserialized artifact's .call re-traces into the CURRENT runtime, so
+    it must compose with a data-parallel mesh on the serving host: running it
+    on DP-sharded inputs over the 8-virtual-device mesh equals the
+    single-device artifact output (round-3 task #7 — closing the loop between
+    the export and mesh-serving surfaces)."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    exp = E.export_sampler(tiny_model, batch=8, steps=2, method="euler")
+    path = tmp_path / "dp.bin"
+    E.save_sampler(exp, path, model=tiny_model)
+    sampler, spec = E.load_sampler(path)
+
+    rng = np.random.RandomState(3)
+    cond = (rng.randn(8, 20, 100) * 0.1).astype(np.float32)
+    text = np.full((8, 12), -1, np.int32)
+    for i in range(8):
+        text[i, : 2 + i % 4] = np.arange(2 + i % 4) + 1
+    args = E.prep_inputs(spec, cond, text, 48, seed=9)
+
+    _, wave_single = sampler.call(*args)
+
+    mesh = Mesh(np.asarray(jax.devices()).reshape(8), ("data",))
+    dp = NamedSharding(mesh, P("data"))
+    rep = NamedSharding(mesh, P())
+    sharded_args = [
+        jax.device_put(a, dp if np.ndim(a) >= 1 and np.shape(a)[0] == 8 else rep)
+        for a in args
+    ]
+    _, wave_dp = sampler.call(*sharded_args)
+    # GSPMD partitioning re-tiles the bf16 matmuls: same tolerance class as
+    # tests/test_mesh_serving.py's live-path DP equality pins
+    np.testing.assert_allclose(
+        np.asarray(wave_single), np.asarray(wave_dp), atol=2e-4, rtol=2e-4
+    )
+
+
 def test_load_sampler_header_versioning(tiny_model, tmp_path):
     """A future header format must raise a clear version error, and unknown
     extra keys in a format-1 header are ignored rather than crashing
