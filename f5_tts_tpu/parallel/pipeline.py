@@ -39,9 +39,14 @@ and it keeps the tiny time-MLP matmuls off the pipeline's critical path
 The forward is differentiable end to end: `ppermute`'s transpose is the
 inverted permutation and the tick scan's cotangent flows the reverse
 pipeline schedule, so `jax.grad` through this forward IS pipeline-parallel
-backprop (tested against the sequential gradient). Dropout is not plumbed
-(inference + fine-tuning-without-dropout scope); training with dropout
-uses the DP/SP/TP axes instead.
+backprop (tested against the sequential gradient). Dropout IS plumbed
+(`dropout_key=`, rate from cfg.dropout like models/dit.py): keys are
+pre-split per (layer, microbatch) outside the pipeline, stage-sharded
+alongside the blocks, and folded with the data-axis index so DP replicas
+draw independent masks. Masks cannot bit-match the sequential forward's
+(which draws one mask over the FULL batch per layer; microbatching slices
+the batch differently) — dropout is random regularization, and the tests
+pin determinism-under-key and rate-0 equivalence instead.
 
 reference: dit.py:374-401 (the backbone being pipelined); no reference
 counterpart for the parallelism itself (SURVEY.md §2c: none exists).
@@ -110,29 +115,36 @@ def shard_params_for_pipeline(params: Params, mesh: Mesh) -> Params:
 
 
 def _stage_pipeline(
-    cfg: DiTConfig, stages: int, num_microbatches: int, has_mask: bool
+    cfg: DiTConfig, stages: int, num_microbatches: int, has_mask: bool,
+    has_dropout: bool, has_data_axis: bool,
 ):
     """The per-device stage program run under shard_map.
 
     Receives this stage's block slice [d_local, ...] and mod slice
-    [d_local, b, 6*dim], plus the (data-sharded, stage-replicated) hidden
-    states, and executes the fill-and-drain schedule."""
+    [d_local, b, 6*dim] (plus, when training, this stage's per-(layer,
+    microbatch) dropout key data [d_local, M, 2]), plus the (data-sharded,
+    stage-replicated) hidden states, and executes the fill-and-drain
+    schedule."""
     M = num_microbatches
 
-    def local_scan(blocks, mods, h, mask, freqs):
+    def local_scan(blocks, mods, keys, h, mask, freqs):
         def body(carry, xs):
-            bp, mod = xs
+            bp, mod, kd = xs
             out = B.dit_block(
                 bp, carry, None, cfg.heads,
                 mask=mask, rope_freqs=freqs,
                 use_flash=cfg.use_flash_attention, mod=mod,
+                dropout_rate=cfg.dropout if has_dropout else 0.0,
+                dropout_key=jax.random.wrap_key_data(kd) if has_dropout else None,
             )
             return out, None
 
-        h, _ = jax.lax.scan(body, h, (blocks, mods))
+        if keys is None:  # keep the scan xs a pure-array pytree
+            keys = jnp.zeros((mods.shape[0], 2), jnp.uint32)
+        h, _ = jax.lax.scan(body, h, (blocks, mods, keys))
         return h
 
-    def stage_fn(blocks, mods, h, mask, cos, sin):
+    def stage_fn(blocks, mods, keys, h, mask, cos, sin):
         # h: [b_local, n, dim]; mods: [d_local, b_local, 6*dim]
         b_local = h.shape[0]
         if b_local % M:
@@ -145,6 +157,16 @@ def _stage_pipeline(
         mask_mbs = mask.reshape(M, mb, mask.shape[-1]) if has_mask else None
         # mods' batch axis microbatches too: [d_local, M, mb, 6*dim]
         mods_mbs = mods.reshape(mods.shape[0], M, mb, mods.shape[-1])
+        if has_dropout:
+            # DP replicas draw independent masks (sequential semantics give
+            # every sample an independent mask; folding the data index keeps
+            # that across shards)
+            data_ix = jax.lax.axis_index("data") if has_data_axis else 0
+            keys = jax.vmap(jax.vmap(
+                lambda kd: jax.random.key_data(
+                    jax.random.fold_in(jax.random.wrap_key_data(kd), data_ix)
+                )
+            ))(keys)  # [d_local, M, 2]
         idx = jax.lax.axis_index("stage")
         freqs = (cos, sin)
         perm = [(i, (i + 1) % stages) for i in range(stages)]
@@ -155,7 +177,8 @@ def _stage_pipeline(
             m_idx = jnp.clip(t - idx, 0, M - 1)
             h_in = jnp.where(idx == 0, h_mbs[m_idx], buf)
             m = mask_mbs[m_idx] if has_mask else None
-            y = local_scan(blocks, mods_mbs[:, m_idx], h_in, m, freqs)
+            k = keys[:, m_idx] if has_dropout else None
+            y = local_scan(blocks, mods_mbs[:, m_idx], k, h_in, m, freqs)
             valid = (t - idx >= 0) & (t - idx < M)
             is_last = idx == stages - 1
             outs = outs.at[m_idx].set(jnp.where(is_last & valid, y, outs[m_idx]))
@@ -186,10 +209,13 @@ def dit_forward_pipelined(
     drop_audio_cond=False,
     drop_text=False,
     mask: jax.Array | None = None,
+    dropout_key: jax.Array | None = None,
 ) -> jax.Array:
     """`dit_forward` with the block stack executed as a GPipe pipeline over
     the mesh's "stage" axis -> [b, n, mel] float32. Same math, same
-    signature surface (minus dropout); params must be placed with
+    signature surface (incl. dropout via `dropout_key`, rate from
+    cfg.dropout — masks are drawn per (layer, microbatch, data shard), see
+    module docstring); params must be placed with
     `shard_params_for_pipeline`. Jit-compatible (jit the caller; shard_map
     composes)."""
     if "stage" not in mesh.axis_names:
@@ -221,28 +247,51 @@ def dit_forward_pipelined(
     cos, sin = jnp.cos(raw), jnp.sin(raw)
 
     has_mask = mask is not None
+    has_dropout = dropout_key is not None and cfg.dropout > 0.0
     data_ax = "data" if "data" in mesh.axis_names else None
-    in_specs = (
+
+    key_data = None
+    if has_dropout:
+        # per-(layer, microbatch) keys, pre-split outside the pipeline and
+        # stage-sharded alongside the blocks (as raw uint32 key data —
+        # typed key arrays don't cross shard_map specs)
+        key_data = jax.random.key_data(
+            jax.random.split(dropout_key, depth * M)
+        ).reshape(depth, M, -1)
+
+    stage_fn = _stage_pipeline(
+        cfg, stages, M, has_mask, has_dropout, data_ax is not None
+    )
+
+    # shard_map wants array args; bind away whichever of (keys, mask) is None
+    args = [params["blocks"], block_mods]
+    specs = [
         jax.tree.map(lambda _: P("stage"), params["blocks"]),  # leading depth axis
         P("stage", data_ax),  # block_mods [depth, b, 6*dim]
-        P(data_ax),  # h [b, n, dim]
-        P(data_ax) if has_mask else None,  # mask [b, n]
-        P(),  # cos
-        P(),  # sin
-    )
-    stage_fn = _stage_pipeline(cfg, stages, M, has_mask)
-    if not has_mask:
-        # shard_map wants array args; bind the None mask away
-        fn = lambda blocks, mods, hh, cos_, sin_: stage_fn(blocks, mods, hh, None, cos_, sin_)
-        in_specs = (in_specs[0], in_specs[1], in_specs[2], in_specs[4], in_specs[5])
-        h = shard_map(
-            fn, mesh=mesh, in_specs=in_specs, out_specs=P(data_ax), check_rep=False
-        )(params["blocks"], block_mods, h, cos, sin)
-    else:
-        h = shard_map(
-            stage_fn, mesh=mesh, in_specs=in_specs, out_specs=P(data_ax),
-            check_rep=False,
-        )(params["blocks"], block_mods, h, mask, cos, sin)
+    ]
+    if has_dropout:
+        args.append(key_data)
+        specs.append(P("stage"))  # [depth, M, 2]
+    args.append(h)
+    specs.append(P(data_ax))  # h [b, n, dim]
+    if has_mask:
+        args.append(mask)
+        specs.append(P(data_ax))  # mask [b, n]
+    args += [cos, sin]
+    specs += [P(), P()]
+
+    def fn(*xs):
+        it = iter(xs)
+        blocks_, mods_ = next(it), next(it)
+        keys_ = next(it) if has_dropout else None
+        h_ = next(it)
+        mask_ = next(it) if has_mask else None
+        return stage_fn(blocks_, mods_, keys_, h_, mask_, next(it), next(it))
+
+    h = shard_map(
+        fn, mesh=mesh, in_specs=tuple(specs), out_specs=P(data_ax),
+        check_rep=False,
+    )(*args)
 
     h = B.adaln_zero_final(params["norm_out"], h, t_emb)
     out = linear(params["proj_out"], h)

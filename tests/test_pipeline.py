@@ -135,3 +135,55 @@ def test_pipeline_validates_divisibility(params):
         dit_forward_pipelined(
             p_sh, bad_cfg, x, cond, text, time, mesh=mesh, num_microbatches=2
         )
+
+
+def test_pipelined_dropout_deterministic_and_effective(params):
+    """Dropout through the pipeline (round-3 weak #7): same key -> identical
+    output, different key -> different output, and a key with rate 0 is the
+    deterministic path. Masks intentionally do NOT match the sequential
+    forward's (one full-batch mask per layer vs per-(layer, microbatch, data
+    shard) draws — see pipeline.py module docstring)."""
+    cfg_d = CFG.replace(dropout=0.3)
+    x, cond, text, time = _inputs(batch=8)
+    mesh = create_pipeline_mesh(stages=2, data=2)
+    p_sh = shard_params_for_pipeline(params, mesh)
+
+    def run(cfg, key):
+        return jax.jit(
+            lambda p, *a: dit_forward_pipelined(
+                p, cfg, *a, mesh=mesh, num_microbatches=2, dropout_key=key
+            )
+        )(p_sh, x, cond, text, time)
+
+    out_a = np.asarray(run(cfg_d, jax.random.key(3)))
+    out_b = np.asarray(run(cfg_d, jax.random.key(3)))
+    out_c = np.asarray(run(cfg_d, jax.random.key(4)))
+    det = np.asarray(run(cfg_d, None))
+    np.testing.assert_array_equal(out_a, out_b)
+    assert np.abs(out_a - out_c).max() > 1e-4
+    assert np.abs(out_a - det).max() > 1e-4
+    # rate 0 + key -> exactly the deterministic path
+    np.testing.assert_array_equal(
+        np.asarray(run(CFG, jax.random.key(3))), np.asarray(run(CFG, None))
+    )
+
+
+def test_pipelined_dropout_grad_flows(params):
+    """Training with dropout works through the pipeline: finite grads with
+    the same tree structure as the params."""
+    cfg_d = CFG.replace(dropout=0.2)
+    x, cond, text, time = _inputs(batch=4)
+    mesh = create_pipeline_mesh(stages=2, data=1)
+    p_sh = shard_params_for_pipeline(params, mesh)
+
+    def loss(p):
+        out = dit_forward_pipelined(
+            p, cfg_d, x, cond, text, time, mesh=mesh, num_microbatches=2,
+            dropout_key=jax.random.key(11),
+        )
+        return jnp.mean(out**2)
+
+    g = jax.jit(jax.grad(loss))(p_sh)
+    leaves = jax.tree.leaves(g)
+    assert len(leaves) == len(jax.tree.leaves(p_sh))
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
