@@ -1,0 +1,315 @@
+"""Minimal deployment server backed by AOT sampler artifacts.
+
+This is the CONSUMER side of `f5_tts_tpu/export.py`'s deployment story: a
+serving host that carries jax, this package's host-side utilities (the mel
+front-end, the tokenizer, WAV plumbing) and one artifact file per duration
+bucket — **no model weights/checkpoints are loaded, no model code is traced,
+and nothing recompiles per shape at request time**: each artifact is a fixed
+StableHLO program whose compilation environment was pinned at export time
+(`serve.py`, by contrast, is the full product server around the LIVE model —
+micro-batching, duration predictor, streaming).
+
+    f5-tts-tpu-export --model SNAP --out b256.bin --batch 1 --padded-len 256 \
+        --steps 8 --method rk4 --external-weights
+    f5-tts-tpu-export --model SNAP --out b512.bin --batch 1 --padded-len 512 ...
+    python -m f5_tts_tpu.artifact_serve --artifact b256.bin --artifact b512.bin \
+        --vocab SNAP/vocab.txt --ref ref.wav --ref-text "..."
+
+Requests pick the smallest bucket that fits their clamped duration, exactly
+like the live jit cache keys shapes. `duration` is client-supplied seconds
+(or the byte-length heuristic via `estimate_duration` — the trained duration
+predictor is a separate model the artifact deliberately does not carry).
+
+reference: no counterpart — the reference's inference needs the full MLX
+Python stack + HF checkpoint downloads at startup (cfm.py:404-520).
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import threading
+from dataclasses import dataclass
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+from f5_tts_tpu.export import SamplerSpec, load_sampler, prep_inputs
+from f5_tts_tpu.generate import estimated_duration
+from f5_tts_tpu.utils.tokenizer import (
+    convert_char_to_pinyin,
+    list_str_to_idx,
+    list_str_to_tensor,
+    load_vocab,
+)
+
+
+@dataclass
+class Bucket:
+    sampler: object  # Exported | BoundSampler
+    spec: SamplerSpec
+    path: str
+
+
+class ArtifactSampler:
+    """The device surface: a sorted set of single-request buckets, a shared
+    mel front-end, and a lock serializing device work (one in-flight
+    computation — the same rule serve.py's batcher thread enforces)."""
+
+    def __init__(self, artifact_paths: list[str], vocab_path: str | None = None):
+        from f5_tts_tpu.audio.mel import MelSpec
+        from f5_tts_tpu.config import AudioConfig
+
+        if not artifact_paths:
+            raise ValueError("need at least one --artifact")
+        self.buckets: list[Bucket] = []
+        for p in artifact_paths:
+            sampler, spec = load_sampler(p)
+            if spec.batch != 1:
+                raise ValueError(
+                    f"{p}: artifact batch={spec.batch}; this minimal server "
+                    "serves one request at a time — export with --batch 1 "
+                    "(micro-batched serving is serve.py's job)"
+                )
+            self.buckets.append(Bucket(sampler, spec, p))
+        self.buckets.sort(key=lambda b: b.spec.padded_len)
+        s0 = self.buckets[0].spec
+        for b in self.buckets[1:]:
+            if (b.spec.hop_length, b.spec.sample_rate, b.spec.mel_dim) != (
+                s0.hop_length, s0.sample_rate, s0.mel_dim
+            ):
+                raise ValueError(
+                    f"{b.path}: audio constants differ from {self.buckets[0].path}; "
+                    "all artifacts must come from the same model"
+                )
+        self.spec = s0  # shared audio-domain constants
+        self.audio_cfg = AudioConfig(
+            sample_rate=s0.sample_rate, hop_length=s0.hop_length, n_mels=s0.mel_dim
+        )
+        self._mel = MelSpec.from_config(self.audio_cfg)
+        self.vocab = load_vocab(vocab_path) if vocab_path else None
+        self._device_lock = threading.Lock()
+
+    def tokenize(self, texts: list[str]) -> np.ndarray:
+        if self.vocab is not None:
+            return list_str_to_idx(convert_char_to_pinyin(texts), self.vocab)
+        return list_str_to_tensor(texts)
+
+    def pick_bucket(self, duration_frames: int) -> Bucket:
+        for b in self.buckets:
+            if duration_frames <= b.spec.padded_len:
+                return b
+        raise ValueError(
+            f"duration {duration_frames} frames exceeds the largest artifact "
+            f"bucket ({self.buckets[-1].spec.padded_len}); export a bigger one"
+        )
+
+    def synthesize(
+        self,
+        text: str,
+        ref_audio: np.ndarray,
+        ref_text: str,
+        duration_frames: int | None,
+        *,
+        speed: float = 1.0,
+        sway_sampling_coef: float | None = -1.0,
+        seed: int = 0,
+    ) -> np.ndarray:
+        """One request -> generated-region float wave (ref region trimmed),
+        mirroring serve.py's frame-quantized trimming."""
+        hop = self.audio_cfg.hop_length
+        if duration_frames is None:
+            duration_frames = int(
+                estimated_duration(
+                    ref_audio, ref_text, text, speed,
+                    hop_length=hop,
+                    frames_per_second=self.audio_cfg.frames_per_second,
+                )
+                * self.audio_cfg.frames_per_second
+            )
+        duration_frames = min(max(duration_frames, 1), self.spec.max_duration)
+        text_ids = self.tokenize([ref_text + " " + text])
+
+        bucket = self.pick_bucket(duration_frames)
+        ref_frames = min(ref_audio.shape[0] // hop, bucket.spec.padded_len)
+        with self._device_lock:
+            cond = np.asarray(
+                self._mel(ref_audio[None, : ref_frames * hop]), np.float32
+            )[:, :ref_frames]
+            args = prep_inputs(
+                bucket.spec, cond, text_ids, duration_frames,
+                sway_sampling_coef=sway_sampling_coef, seed=seed,
+            )
+            out = bucket.sampler.call(*args)
+        if not isinstance(out, (tuple, list)):
+            raise ValueError(
+                f"{bucket.path} is a mel-only artifact (--mel-only); this "
+                "server needs the vocoded wave — re-export without --mel-only"
+            )
+        wave = np.asarray(out[1], np.float32)[0]
+        start = int(args[1][0]) * hop  # lens (>= ref frames after text clamp)
+        end = (int(args[3]) - 1) * hop
+        return wave[start : min(end, wave.shape[0])]
+
+
+def make_handler(sampler: ArtifactSampler, default_ref):
+    from f5_tts_tpu.serve import MAX_BODY_BYTES, _wav_bytes
+
+    acfg = sampler.audio_cfg
+
+    class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        def log_message(self, *a):  # quiet by default
+            pass
+
+        def _json_error(self, code: int, msg: str):
+            body = json.dumps({"error": msg}).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                body = json.dumps(
+                    {
+                        "buckets": [b.spec.padded_len for b in sampler.buckets],
+                        "sample_rate": acfg.sample_rate,
+                    }
+                ).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            else:
+                self._json_error(404, "unknown path")
+
+        def do_POST(self):
+            if self.path != "/synthesize":
+                return self._json_error(404, "unknown path")
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                if length > MAX_BODY_BYTES:
+                    return self._json_error(413, "request body too large")
+                payload = json.loads(self.rfile.read(length) or b"{}")
+            except (ValueError, json.JSONDecodeError):
+                return self._json_error(400, "invalid JSON body")
+
+            text = payload.get("text")
+            if not text:
+                return self._json_error(400, "missing 'text'")
+            if "ref_audio_b64" in payload:
+                try:
+                    import tempfile
+
+                    from f5_tts_tpu.audio.io import read_wav
+
+                    with tempfile.NamedTemporaryFile(suffix=".wav") as f:
+                        f.write(base64.b64decode(payload["ref_audio_b64"]))
+                        f.flush()
+                        ref_audio, sr = read_wav(f.name)
+                except Exception as e:
+                    return self._json_error(400, f"bad ref audio: {e}")
+                if sr != acfg.sample_rate:
+                    return self._json_error(
+                        400, f"reference audio must be {acfg.sample_rate} Hz"
+                    )
+                if ref_audio.ndim > 1:
+                    ref_audio = ref_audio.mean(axis=-1)
+                ref_text = payload.get("ref_text")
+                if ref_text is None:
+                    return self._json_error(400, "ref_audio_b64 needs ref_text")
+            elif default_ref is not None:
+                ref_audio, ref_text = default_ref
+            else:
+                return self._json_error(
+                    400, "no default reference configured; pass ref_audio_b64"
+                )
+            rms = float(np.sqrt(np.mean(np.square(ref_audio)))) if ref_audio.size else 0.0
+            if 0.0 < rms < 0.1:
+                ref_audio = ref_audio * (0.1 / rms)
+
+            duration = payload.get("duration")
+            frames = (
+                None
+                if duration is None or payload.get("estimate_duration")
+                else int(float(duration) * acfg.frames_per_second)
+            )
+            try:
+                wave = sampler.synthesize(
+                    text, ref_audio, ref_text, frames,
+                    speed=float(payload.get("speed", 1.0)),
+                    sway_sampling_coef=payload.get("sway_sampling_coef", -1.0),
+                    seed=int(payload.get("seed", 0)),
+                )
+            except ValueError as e:
+                return self._json_error(400, str(e))
+            except Exception as e:
+                return self._json_error(500, f"synthesis failed: {e}")
+            body = _wav_bytes(wave, acfg.sample_rate)
+            self.send_response(200)
+            self.send_header("Content-Type", "audio/wav")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+    return Handler
+
+
+def serve_artifacts(
+    artifact_paths: list[str],
+    *,
+    vocab_path: str | None = None,
+    default_ref=None,
+    host: str = "0.0.0.0",
+    port: int = 8931,
+) -> ThreadingHTTPServer:
+    sampler = ArtifactSampler(artifact_paths, vocab_path)
+    httpd = ThreadingHTTPServer((host, port), make_handler(sampler, default_ref))
+    httpd.sampler = sampler
+    print(
+        f"artifact server on {host}:{port} — buckets "
+        f"{[b.spec.padded_len for b in sampler.buckets]}"
+    )
+    return httpd
+
+
+def main(argv=None):
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    ap.add_argument("--artifact", action="append", required=True,
+                    help="sampler artifact (repeat for several duration buckets)")
+    ap.add_argument("--vocab", default=None,
+                    help="vocab.txt for the pinyin/vocab tokenizer; omit for the "
+                         "byte tokenizer (must match the exported model's training)")
+    ap.add_argument("--ref", default=None, help="default reference WAV")
+    ap.add_argument("--ref-text", default=None)
+    ap.add_argument("--host", default="0.0.0.0")
+    ap.add_argument("--port", type=int, default=8931)
+    args = ap.parse_args(argv)
+
+    default_ref = None
+    if args.ref:
+        from f5_tts_tpu.audio.io import read_wav
+
+        audio, sr = read_wav(args.ref)
+        if args.ref_text is None:
+            ap.error("--ref needs --ref-text")
+        default_ref = (audio if audio.ndim == 1 else audio.mean(axis=-1), args.ref_text)
+
+    httpd = serve_artifacts(
+        args.artifact, vocab_path=args.vocab, default_ref=default_ref,
+        host=args.host, port=args.port,
+    )
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        pass
+
+
+if __name__ == "__main__":
+    main()

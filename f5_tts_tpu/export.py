@@ -297,11 +297,19 @@ class BoundSampler:
     """A weights-as-args artifact re-bound to its stored weights payload:
     `.call` takes the same 7 device args as an embedded-weights Exported, so
     serving code is identical for both artifact flavors. The weight leaves
-    are prepended in the program's own flatten order via its `in_tree`."""
+    are prepended in the program's own flatten order via its `in_tree`.
+
+    The first `.call` moves the weights onto the device as UNCOMMITTED
+    arrays (and keeps them there — re-transferring a base-scale payload
+    per request would cost ~650 MB of PCIe/host traffic each call);
+    uncommitted placement lets a sharded caller re-place them, or call
+    `place_weights(sharding)` once to pin an explicit layout (e.g.
+    replicated on a serving mesh)."""
 
     def __init__(self, exported: jexport.Exported, weight_leaves: list):
         self.exported = exported
         self._weight_leaves = list(weight_leaves)
+        self._on_device = False
 
     @property
     def in_avals(self):
@@ -311,7 +319,19 @@ class BoundSampler:
     def platforms(self):
         return self.exported.platforms
 
+    def place_weights(self, sharding) -> "BoundSampler":
+        """device_put every weight leaf with `sharding` (a Sharding or a
+        Device); returns self."""
+        self._weight_leaves = [
+            jax.device_put(w, sharding) for w in self._weight_leaves
+        ]
+        self._on_device = True
+        return self
+
     def call(self, *args):
+        if not self._on_device:
+            self._weight_leaves = [jnp.asarray(w) for w in self._weight_leaves]
+            self._on_device = True
         full_args, kwargs = jax.tree.unflatten(
             self.exported.in_tree, self._weight_leaves + list(args)
         )

@@ -1,0 +1,156 @@
+"""Artifact-backed deployment server (f5_tts_tpu/artifact_serve.py): serving
+from AOT sampler artifacts with no model weights loaded — bucket selection,
+the HTTP surface, and equality with driving the export API directly.
+
+reference: no counterpart (the reference has no serving or deployment
+surface; SURVEY.md §5)."""
+
+import base64
+import io
+import json
+import threading
+import urllib.error
+import urllib.request
+import wave as wave_mod
+
+import jax
+import numpy as np
+import pytest
+
+from f5_tts_tpu import export as E
+from f5_tts_tpu.artifact_serve import ArtifactSampler, serve_artifacts
+from f5_tts_tpu.config import CFMConfig, DiTConfig, VocosConfig
+from f5_tts_tpu.models.cfm import F5TTS
+from f5_tts_tpu.models.vocos import Vocos
+
+HOP = 256
+SR = 24_000
+
+
+@pytest.fixture(scope="module")
+def model():
+    cfg = DiTConfig(dim=64, depth=2, heads=2, dim_head=32, ff_mult=2, mel_dim=100,
+                    text_num_embeds=256, text_dim=32, conv_layers=1,
+                    use_flash_attention=False)
+    voc = Vocos.init(jax.random.key(1),
+                     VocosConfig(dim=64, intermediate_dim=128, num_layers=2))
+    return F5TTS.init(jax.random.key(0), cfg, cfm_cfg=CFMConfig(duration_bucket=64),
+                      vocab_char_map=None, vocoder=voc.decode)
+
+
+@pytest.fixture(scope="module")
+def artifacts(model, tmp_path_factory):
+    """Two buckets (64 and 128 frames), batch=1, external weights."""
+    tmp = tmp_path_factory.mktemp("artifacts")
+    paths = []
+    for padded in (64, 128):
+        exp = E.export_sampler(model, batch=1, padded_len=padded, steps=2,
+                               method="euler", embed_weights=False)
+        p = tmp / f"b{padded}.bin"
+        E.save_sampler(exp, p, model=model)
+        paths.append(str(p))
+    return paths
+
+
+@pytest.fixture(scope="module")
+def ref():
+    rng = np.random.default_rng(0)
+    return (0.1 * rng.standard_normal(20 * HOP)).astype(np.float32)  # 20 frames
+
+
+@pytest.fixture(scope="module")
+def server(artifacts, ref):
+    httpd = serve_artifacts(artifacts, default_ref=(ref, "ref words"),
+                            host="127.0.0.1", port=0)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{httpd.server_address[1]}", httpd
+    httpd.shutdown()
+
+
+def _post(url, payload, timeout=120):
+    req = urllib.request.Request(
+        url + "/synthesize", data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"}, method="POST",
+    )
+    return urllib.request.urlopen(req, timeout=timeout)
+
+
+def test_bucket_selection(artifacts):
+    s = ArtifactSampler(artifacts)
+    assert [b.spec.padded_len for b in s.buckets] == [64, 128]
+    assert s.pick_bucket(40).spec.padded_len == 64
+    assert s.pick_bucket(64).spec.padded_len == 64
+    assert s.pick_bucket(65).spec.padded_len == 128
+    with pytest.raises(ValueError, match="largest artifact bucket"):
+        s.pick_bucket(129)
+
+
+def test_rejects_batched_artifacts(model, tmp_path):
+    exp = E.export_sampler(model, batch=2, steps=2, method="euler",
+                           embed_weights=False)
+    p = tmp_path / "b2.bin"
+    E.save_sampler(exp, p, model=model)
+    with pytest.raises(ValueError, match="batch=2"):
+        ArtifactSampler([str(p)])
+
+
+def test_http_synthesize_matches_direct_export_call(server, artifacts, ref):
+    url, httpd = server
+    with _post(url, {"text": "hello world", "duration": 0.5, "seed": 3}) as r:
+        assert r.headers["Content-Type"] == "audio/wav"
+        body = r.read()
+    with wave_mod.open(io.BytesIO(body)) as w:
+        assert w.getframerate() == SR
+        pcm_http = np.frombuffer(w.readframes(w.getnframes()), "<i2")
+    assert pcm_http.size > 0 and pcm_http.size % HOP == 0
+
+    # replicate through the export API directly (incl. the HTTP layer's RMS
+    # normalization of quiet references): same trim, same samples
+    s = httpd.sampler
+    rms = float(np.sqrt(np.mean(np.square(ref))))
+    ref_n = ref * (0.1 / rms) if 0.0 < rms < 0.1 else ref
+    wave = s.synthesize("hello world", ref_n, "ref words",
+                        int(0.5 * SR / HOP), seed=3)
+    pcm_direct = (np.clip(wave, -1, 1) * 32767.0).astype("<i2")
+    np.testing.assert_array_equal(pcm_http, pcm_direct)
+
+
+def test_http_bucket_upgrade_and_estimate(server):
+    url, _ = server
+    # 1.2 s = 112 frames -> the 128 bucket
+    with _post(url, {"text": "a longer utterance for the bigger bucket",
+                     "duration": 1.2}) as r:
+        assert r.status == 200
+    # heuristic duration (no 'duration' field)
+    with _post(url, {"text": "hi", "estimate_duration": True}) as r:
+        assert r.status == 200
+
+
+def test_http_errors(server, ref):
+    url, _ = server
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(url, {"duration": 0.5})
+    assert e.value.code == 400  # missing text
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(url, {"text": "way too long", "duration": 10.0})
+    assert e.value.code == 400  # past the largest bucket
+    # mismatched-rate reference
+    buf = io.BytesIO()
+    with wave_mod.open(buf, "wb") as w:
+        w.setnchannels(1); w.setsampwidth(2); w.setframerate(16_000)
+        w.writeframes(b"\x00\x00" * 1600)
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(url, {"text": "x", "duration": 0.5, "ref_text": "y",
+                    "ref_audio_b64": base64.b64encode(buf.getvalue()).decode()})
+    assert e.value.code == 400
+
+
+def test_mel_only_artifact_rejected_cleanly(model, ref, tmp_path):
+    exp = E.export_sampler(model, batch=1, steps=2, method="euler",
+                           with_vocoder=False, embed_weights=False)
+    p = tmp_path / "melonly.bin"
+    E.save_sampler(exp, p, model=model)
+    s = ArtifactSampler([str(p)])
+    with pytest.raises(ValueError, match="mel-only"):
+        s.synthesize("hi", ref, "ref words", 40)

@@ -262,6 +262,38 @@ def test_external_weights_roundtrip_matches_embedded(tiny_model, tmp_path):
                                atol=2e-4, rtol=2e-4)
 
 
+def test_external_weights_composes_with_w8a8(tiny_model, tmp_path):
+    """int8-COMPUTE weights (dicts of {q int8, scales, biases}) round-trip
+    through the external-weights payload (every leaf dtype/shape recorded,
+    including int8) and match the embedded w8a8 artifact."""
+    m8 = F5TTS(
+        tiny_model.params, tiny_model.dit_cfg.replace(int8_compute=True),
+        cfm_cfg=tiny_model.cfm_cfg, audio_cfg=tiny_model.audio_cfg,
+        vocab_char_map=None, vocoder=tiny_model._vocoder,
+    )
+    emb = E.export_sampler(m8, batch=2, steps=2, method="euler")
+    ext = E.export_sampler(m8, batch=2, steps=2, method="euler",
+                           embed_weights=False)
+    p_emb, p_ext = tmp_path / "emb8.bin", tmp_path / "ext8.bin"
+    E.save_sampler(emb, p_emb, model=m8)
+    E.save_sampler(ext, p_ext, model=m8)
+    s_emb, spec = E.load_sampler(p_emb)
+    s_ext, _ = E.load_sampler(p_ext)
+
+    cond, text = _inputs()
+    args = E.prep_inputs(spec, cond, text, 48, seed=11)
+    _, wave_a = s_emb.call(*args)
+    _, wave_b = s_ext.call(*args)
+    np.testing.assert_allclose(np.asarray(wave_a), np.asarray(wave_b),
+                               atol=2e-4, rtol=2e-4)
+
+    # explicit placement (the serving-mesh hook) is output-invariant
+    s_ext.place_weights(jax.devices()[0])
+    _, wave_c = s_ext.call(*args)
+    np.testing.assert_allclose(np.asarray(wave_b), np.asarray(wave_c),
+                               atol=0, rtol=0)
+
+
 def test_external_weights_save_requires_model(tiny_model, tmp_path):
     """A weights-as-args Exported carries only the weight AVALS; saving it
     without the model (the arrays) must fail loudly."""
