@@ -104,6 +104,25 @@ class ArtifactSampler:
             f"bucket ({self.buckets[-1].spec.padded_len}); export a bigger one"
         )
 
+    def warmup(self) -> None:
+        """Run every bucket once on silence so the first real request never
+        pays the artifact's (fast, but not free) AOT program compile —
+        the same role serve.py's --warmup plays for jit shapes."""
+        import time
+
+        for b in self.buckets:
+            t0 = time.time()
+            # direct bucket call (pick_bucket would route small durations to
+            # the smallest bucket; warm THIS one)
+            with self._device_lock:
+                cond = np.zeros((1, 4, self.spec.mel_dim), np.float32)
+                text = np.full((1, 4), -1, np.int32)
+                args = prep_inputs(b.spec, cond, text, b.spec.padded_len, seed=0)
+                out = b.sampler.call(*args)
+                np.asarray(out[1] if isinstance(out, (tuple, list)) else out)
+            print(f"warmed {b.path} (bucket {b.spec.padded_len}): "
+                  f"{time.time() - t0:.1f}s")
+
     def synthesize(
         self,
         text: str,
@@ -175,7 +194,13 @@ def make_handler(sampler: ArtifactSampler, default_ref):
             if self.path == "/healthz":
                 body = json.dumps(
                     {
-                        "buckets": [b.spec.padded_len for b in sampler.buckets],
+                        "buckets": [
+                            {"padded_len": b.spec.padded_len,
+                             "steps": b.spec.steps,
+                             "method": b.spec.method,
+                             "cfg_strength": b.spec.cfg_strength}
+                            for b in sampler.buckets
+                        ],
                         "sample_rate": acfg.sample_rate,
                     }
                 ).encode()
@@ -290,6 +315,8 @@ def main(argv=None):
     ap.add_argument("--ref-text", default=None)
     ap.add_argument("--host", default="0.0.0.0")
     ap.add_argument("--port", type=int, default=8931)
+    ap.add_argument("--warmup", action="store_true",
+                    help="compile every bucket's program before accepting traffic")
     args = ap.parse_args(argv)
 
     default_ref = None
@@ -305,6 +332,8 @@ def main(argv=None):
         args.artifact, vocab_path=args.vocab, default_ref=default_ref,
         host=args.host, port=args.port,
     )
+    if args.warmup:
+        httpd.sampler.warmup()
     try:
         httpd.serve_forever()
     except KeyboardInterrupt:

@@ -219,7 +219,8 @@ def _weights_pytree(model: F5TTS, exported: jexport.Exported):
 
 
 def save_sampler(
-    exported: jexport.Exported, path, *, model: F5TTS | None = None
+    exported: jexport.Exported, path, *, model: F5TTS | None = None,
+    extra_meta: dict | None = None,
 ) -> None:
     """Write an artifact file: a tiny JSON header (the model's audio-domain
     constants, so a non-default AudioConfig deployment trims waves with the
@@ -231,18 +232,23 @@ def save_sampler(
     defaults at load time, which is WRONG for any non-default AudioConfig —
     a warning is emitted because that mistake is invisible until
     deployment-side wave trimming garbles audio. Weights-as-args exports
-    REQUIRE the model (the Exported carries only the weight avals)."""
+    REQUIRE the model (the Exported carries only the weight avals).
+
+    `extra_meta` records informational fields in the header (e.g.
+    {"method": "rk4", "cfg_strength": 2.0} — the ODE/CFG settings are baked
+    into the program and otherwise not introspectable); fields matching
+    SamplerSpec names surface on load, unknown ones are ignored."""
     import json
     import warnings
 
-    meta = {}
+    meta = dict(extra_meta or {})
     if model is not None:
-        meta = {
-            "hop_length": model.audio_cfg.hop_length,
-            "sample_rate": model.audio_cfg.sample_rate,
-            "max_duration": model.cfm_cfg.max_duration,
-            "text_num_embeds": model.dit_cfg.text_num_embeds,
-        }
+        meta.update(
+            hop_length=model.audio_cfg.hop_length,
+            sample_rate=model.audio_cfg.sample_rate,
+            max_duration=model.cfm_cfg.max_duration,
+            text_num_embeds=model.dit_cfg.text_num_embeds,
+        )
     else:
         warnings.warn(
             "save_sampler called without model=: the artifact header will carry "
@@ -291,6 +297,10 @@ class SamplerSpec:
     # Vocab size for host-side text-id range validation (None = header
     # predates the field / was written without model=; validation is skipped).
     text_num_embeds: int | None = None
+    # Informational: the ODE method / CFG strength baked into the program
+    # (recorded via save_sampler's extra_meta; None when absent).
+    method: str | None = None
+    cfg_strength: float | None = None
 
 
 class BoundSampler:
@@ -511,7 +521,10 @@ def main(argv=None) -> None:
         platforms=tuple(args.platforms.split(",")) if args.platforms else None,
         embed_weights=not args.external_weights,
     )
-    save_sampler(exported, args.out, model=model)
+    save_sampler(
+        exported, args.out, model=model,
+        extra_meta={"method": args.method, "cfg_strength": args.cfg_strength},
+    )
     cond_aval = exported.in_avals[-7]
     print(
         f"wrote {args.out}: bucket [{cond_aval.shape[0]}, {cond_aval.shape[1]}, "

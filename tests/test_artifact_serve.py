@@ -154,3 +154,12 @@ def test_mel_only_artifact_rejected_cleanly(model, ref, tmp_path):
     s = ArtifactSampler([str(p)])
     with pytest.raises(ValueError, match="mel-only"):
         s.synthesize("hi", ref, "ref words", 40)
+
+
+def test_healthz_and_warmup(server):
+    url, httpd = server
+    httpd.sampler.warmup()  # compiles every bucket; must not error
+    with urllib.request.urlopen(url + "/healthz", timeout=30) as r:
+        info = json.loads(r.read())
+    assert [b["padded_len"] for b in info["buckets"]] == [64, 128]
+    assert all(b["steps"] == 2 for b in info["buckets"])

@@ -383,3 +383,17 @@ def test_load_sampler_header_versioning(tiny_model, tmp_path):
     write(extra, {"format": 1, "hop_length": 128, "some_future_key": [1, 2]})
     _, spec = E.load_sampler(extra)
     assert spec.hop_length == 128
+
+
+def test_header_extra_meta_records_sampler_config(tiny_model, tmp_path):
+    """save_sampler's extra_meta surfaces known SamplerSpec fields (the
+    baked ODE method / CFG strength are otherwise not introspectable from
+    the program) and ignores unknown ones."""
+    exp = E.export_sampler(tiny_model, batch=1, steps=2, method="euler",
+                           with_vocoder=False)
+    p = tmp_path / "m.bin"
+    E.save_sampler(exp, p, model=tiny_model,
+                   extra_meta={"method": "euler", "cfg_strength": 1.5,
+                               "some_future_field": [1]})
+    _, spec = E.load_sampler(p)
+    assert (spec.method, spec.cfg_strength) == ("euler", 1.5)
