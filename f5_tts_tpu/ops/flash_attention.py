@@ -219,6 +219,148 @@ def flash_attention(
     return out[:, :, :n, :]
 
 
+def _make_bwd_kernel(scale: float, block_q: int, has_mask: bool, has_rope: bool):
+    """Flash backward: recomputes the softmax row statistics in VMEM (same
+    whole-K design as the forward — no online state) and never materializes
+    the [n, n] probabilities to HBM. dK/dV accumulate across q-blocks in
+    their f32 output refs, which stay VMEM-resident because the q-block grid
+    dimension is innermost and their index map is constant in it."""
+
+    def kernel(*refs):
+        i = 5
+        q_ref, k_ref, v_ref, g_ref, delta_ref = refs[:5]
+        mask_ref = None
+        cos_ref = sin_ref = p_ref = None
+        if has_mask:
+            mask_ref = refs[i]
+            i += 1
+        if has_rope:
+            cos_ref, sin_ref, p_ref = refs[i : i + 3]
+            i += 3
+        dq_ref, dk_ref, dv_ref = refs[i : i + 3]
+
+        qi = pl.program_id(2)
+
+        @pl.when(qi == 0)
+        def _init():
+            dk_ref[0, 0] = jnp.zeros_like(dk_ref[0, 0])
+            dv_ref[0, 0] = jnp.zeros_like(dv_ref[0, 0])
+
+        q = q_ref[0, 0]  # [BQ, d] (pre-rotation)
+        k = k_ref[0, 0]  # [n, d]
+        v = v_ref[0, 0]  # [n, d]
+        g = g_ref[0, 0]  # [BQ, d] cotangent of the output
+        delta = delta_ref[0, 0]  # [BQ, 1] f32 rowsum(g * out)
+
+        if has_rope:
+            P = p_ref[...].astype(q.dtype)
+            cos_all = cos_ref[...].astype(q.dtype)
+            sin_all = sin_ref[...].astype(q.dtype)
+            cos_q = cos_ref[pl.ds(qi * block_q, block_q), :].astype(q.dtype)
+            sin_q = sin_ref[pl.ds(qi * block_q, block_q), :].astype(q.dtype)
+            hi = (
+                jax.lax.Precision.HIGHEST
+                if q.dtype == jnp.float32
+                else jax.lax.Precision.DEFAULT
+            )
+            q = q * cos_q + jax.lax.dot(
+                q, P, precision=hi, preferred_element_type=jnp.float32
+            ).astype(q.dtype) * sin_q
+            k = k * cos_all + jax.lax.dot(
+                k, P, precision=hi, preferred_element_type=jnp.float32
+            ).astype(k.dtype) * sin_all
+
+        # recompute the probabilities for this q block (f32 stats, as forward)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        if has_mask:
+            drop = 1.0 - mask_ref[0].astype(jnp.float32)  # [1, n]
+            s = s - drop * 1e30
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p_un = jnp.exp(s - m)
+        denom = jnp.sum(p_un, axis=-1, keepdims=True)
+        probs = p_un / denom  # [BQ, n] f32
+
+        # dV += P^T g
+        dv_ref[0, 0] += jax.lax.dot_general(
+            probs.astype(v.dtype), g, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        # dP = g V^T ; dS = P * (dP - delta) * scale
+        dp = jax.lax.dot_general(
+            g, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [BQ, n]
+        ds = probs * (dp - delta) * scale  # masked keys have P == 0 -> ds == 0
+        ds = ds.astype(q.dtype)
+
+        # dQ' = dS K' ; dK' += dS^T Q'
+        dq_rot = jax.lax.dot_general(
+            ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        dk_rot = jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+
+        if has_rope:
+            # x' = x*cos + (x @ P)*sin  =>  dx = g*cos + (g*sin) @ P^T; P is a
+            # signed permutation so P^T contraction is exact at any precision
+            Pf = p_ref[...].astype(jnp.float32)
+            cq, sq = cos_q.astype(jnp.float32), sin_q.astype(jnp.float32)
+            ca, sa = cos_all.astype(jnp.float32), sin_all.astype(jnp.float32)
+            dq_rot = dq_rot * cq + jax.lax.dot_general(
+                dq_rot * sq, Pf, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dk_rot = dk_rot * ca + jax.lax.dot_general(
+                dk_rot * sa, Pf, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        dq_ref[0, 0] = dq_rot
+        dk_ref[0, 0] += dk_rot
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "block_q"))
+def _flash_attention_bwd_call(q, k, v, g, delta, mask, rope, scale: float, block_q: int):
+    b, h, n, d = q.shape
+    grid = (b, h, n // block_q)
+
+    qspec = pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi: (bi, hi, qi, 0))
+    kspec = pl.BlockSpec((1, 1, n, d), lambda bi, hi, qi: (bi, hi, 0, 0))
+    in_specs = [
+        qspec, kspec, kspec, qspec,
+        pl.BlockSpec((1, 1, block_q, 1), lambda bi, hi, qi: (bi, hi, qi, 0)),
+    ]
+    args = [q, k, v, g, delta]
+    if mask is not None:
+        in_specs.append(pl.BlockSpec((1, 1, n), lambda bi, hi, qi: (bi, 0, 0)))
+        args.append(mask.astype(jnp.int8)[:, None, :])
+    if rope is not None:
+        cos, sin = rope
+        tab_spec = pl.BlockSpec((n, d), lambda bi, hi, qi: (0, 0))
+        in_specs += [tab_spec, tab_spec, pl.BlockSpec((d, d), lambda bi, hi, qi: (0, 0))]
+        args += [cos, sin, jnp.asarray(rope_perm_matrix(d))]
+
+    kernel = _make_bwd_kernel(scale, block_q, mask is not None, rope is not None)
+    interpret = jax.devices()[0].platform.lower() not in ("tpu", "axon")
+    dq, dk, dv = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=(qspec, kspec, kspec),
+        out_shape=(
+            jax.ShapeDtypeStruct(q.shape, jnp.float32),
+            jax.ShapeDtypeStruct(k.shape, jnp.float32),
+            jax.ShapeDtypeStruct(v.shape, jnp.float32),
+        ),
+        interpret=interpret,
+    )(*args)
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+
+
 def _apply_rope_xla(x, rope):
     """XLA-side equivalent of the in-kernel rotation (used by the backward)."""
     cos, sin = rope
@@ -239,21 +381,48 @@ def _xla_attention(q, k, v, scale, key_mask):
 
 
 def _flash_fwd(q, k, v, scale, key_mask, rope):
-    return flash_attention(q, k, v, scale, key_mask, rope), (q, k, v, key_mask, rope)
+    out = flash_attention(q, k, v, scale, key_mask, rope)
+    return out, (q, k, v, key_mask, rope, out)
 
 
 def _flash_bwd(scale, residuals, g):
-    q, k, v, key_mask, rope = residuals
+    """Pallas flash backward: dK/dV accumulated across q-blocks in VMEM, the
+    [n, n] probabilities recomputed per block and never written to HBM — the
+    previous XLA rematerialized backward materialized them (plus the f32
+    logits) per layer, which dominated training-step HBM traffic. Runs
+    wherever the forward kernel ran (interpret mode off-TPU, so the CPU
+    suite exercises the same code path the chip does)."""
+    q, k, v, key_mask, rope, out = residuals
+    b, h, n, d = q.shape
 
-    def f(q, k, v):
+    # delta_i = sum_d g_i * out_i — the softmax-backward row correction
+    # (rowsum(dP * P) without forming dP): cheap in XLA, saves the kernel
+    # one [BQ, n] x [n, d] matmul recomputing out
+    delta = jnp.sum(
+        g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1, keepdims=True
+    )
+
+    block_q = min(BLOCK_Q, max(_next_multiple(n, 8), 8))
+    n_pad = _next_multiple(n, block_q)
+    if n_pad != n:
+        pad = [(0, 0), (0, 0), (0, n_pad - n), (0, 0)]
+        q, k, v, g = (jnp.pad(x, pad) for x in (q, k, v, g))
+        delta = jnp.pad(delta, pad)
+        if key_mask is None:
+            key_mask = jnp.broadcast_to(jnp.arange(n_pad)[None, :] < n, (b, n_pad))
+        else:
+            key_mask = jnp.pad(key_mask, [(0, 0), (0, n_pad - n)])
         if rope is not None:
-            q = _apply_rope_xla(q, rope)
-            k = _apply_rope_xla(k, rope)
-        return _xla_attention(q, k, v, scale, key_mask)
+            cos, sin = rope
+            rope = (
+                jnp.pad(cos, [(0, n_pad - n), (0, 0)]),
+                jnp.pad(sin, [(0, n_pad - n), (0, 0)]),
+            )
 
-    _, vjp = jax.vjp(f, q, k, v)
-    dq, dk, dv = vjp(g)
-    return dq, dk, dv, None, None
+    dq, dk, dv = _flash_attention_bwd_call(
+        q, k, v, g, delta, key_mask, rope, float(scale), block_q
+    )
+    return dq[:, :, :n], dk[:, :, :n], dv[:, :, :n], None, None
 
 
 flash_attention.defvjp(_flash_fwd, _flash_bwd)

@@ -65,6 +65,36 @@ def main() -> None:
     check("dit_forward flash-vs-fallback rel-MAE (bf16)",
           float(np.abs(y_flash - y_ref).mean()) / scale, 2e-2)
 
+    # -- 1b. flash BACKWARD kernel vs XLA grads (training path) -----------
+    from f5_tts_tpu.models.rope import rotary_freqs
+    from f5_tts_tpu.ops.flash_attention import (
+        _apply_rope_xla, _xla_attention, flash_attention,
+    )
+
+    ks = jax.random.split(jax.random.key(5), 3)
+    qg = jax.random.normal(ks[0], (2, 16, 1024, 64), jnp.bfloat16)
+    kg = jax.random.normal(ks[1], (2, 16, 1024, 64), jnp.bfloat16)
+    vg = jax.random.normal(ks[2], (2, 16, 1024, 64), jnp.bfloat16)
+    amask = jnp.arange(1024)[None, :] < jnp.asarray([[1024], [900]])
+    raw = rotary_freqs(1024, 64)
+    rope = (jnp.cos(raw), jnp.sin(raw))
+    sc = 1.0 / np.sqrt(64)
+
+    def loss_flash(q, k, v):
+        return (flash_attention(q, k, v, sc, amask, rope).astype(jnp.float32) ** 2).sum()
+
+    def loss_ref(q, k, v):
+        return (_xla_attention(_apply_rope_xla(q, rope), _apply_rope_xla(k, rope),
+                               v, sc, amask).astype(jnp.float32) ** 2).sum()
+
+    gf = jax.jit(jax.grad(loss_flash, argnums=(0, 1, 2)))(qg, kg, vg)
+    gr = jax.jit(jax.grad(loss_ref, argnums=(0, 1, 2)))(qg, kg, vg)
+    for nm, a, bb in zip(("dq", "dk", "dv"), gf, gr):
+        a32, b32 = np.asarray(a, np.float32), np.asarray(bb, np.float32)
+        check(f"flash backward {nm} vs XLA rel-MAE (bf16)",
+              float(np.abs(a32 - b32).mean()) / (float(np.abs(b32).mean()) + 1e-9),
+              2e-2)
+
     # -- 2. grouped conv lowerings on device ------------------------------
     xc = jnp.asarray(rng.standard_normal((2, 1024, 1024)), jnp.bfloat16)
     pc = {"kernel": jnp.asarray(rng.standard_normal((31, 64, 1024)) * 0.05, jnp.float32),
