@@ -26,11 +26,9 @@ Python stack + HF checkpoint downloads at startup (cfm.py:404-520).
 
 from __future__ import annotations
 
-import base64
-import json
 import threading
 from dataclasses import dataclass
-from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from http.server import ThreadingHTTPServer
 
 import numpy as np
 
@@ -95,12 +93,19 @@ class ArtifactSampler:
             return list_str_to_idx(convert_char_to_pinyin(texts), self.vocab)
         return list_str_to_tensor(texts)
 
-    def pick_bucket(self, duration_frames: int) -> Bucket:
+    def pick_bucket(self, needed_frames: int) -> Bucket:
+        """Smallest bucket whose padded window holds `needed_frames` — which
+        must be the CLAMPED requirement max(duration, ref_frames+1,
+        text_len+1), not the raw requested duration: prep_inputs raises the
+        duration to at least lens+1 (models/cfm.clamp_duration), so a bucket
+        picked from the raw duration would spuriously reject requests whose
+        reference or text pushes the clamp past it while a larger bucket
+        fits (synthesize() below computes this)."""
         for b in self.buckets:
-            if duration_frames <= b.spec.padded_len:
+            if needed_frames <= b.spec.padded_len:
                 return b
         raise ValueError(
-            f"duration {duration_frames} frames exceeds the largest artifact "
+            f"duration {needed_frames} frames exceeds the largest artifact "
             f"bucket ({self.buckets[-1].spec.padded_len}); export a bigger one"
         )
 
@@ -149,12 +154,26 @@ class ArtifactSampler:
         duration_frames = min(max(duration_frames, 1), self.spec.max_duration)
         text_ids = self.tokenize([ref_text + " " + text])
 
-        bucket = self.pick_bucket(duration_frames)
-        ref_frames = min(ref_audio.shape[0] // hop, bucket.spec.padded_len)
+        # bucket by the CLAMPED requirement: prep_inputs raises the duration
+        # to at least lens+1 where lens = max(ref_frames, text_len), so the
+        # bucket must fit that, not just the raw request
+        text_len = int((text_ids != -1).sum(axis=-1).max()) if text_ids.size else 0
+        largest = self.buckets[-1].spec.padded_len
+        ref_frames = min(ref_audio.shape[0] // hop, largest - 1,
+                         self.spec.max_duration - 1)
+        bucket = self.pick_bucket(
+            max(duration_frames, ref_frames + 1, text_len + 1)
+        )
         with self._device_lock:
-            cond = np.asarray(
-                self._mel(ref_audio[None, : ref_frames * hop]), np.float32
-            )[:, :ref_frames]
+            # mel over a FIXED per-bucket window (zero-padded), so the mel
+            # jit compiles once per bucket instead of once per distinct
+            # reference length (the module's no-per-shape-recompile claim;
+            # same pattern as serve.py._padded_refs). The STFT zero-pads
+            # edges, so frames [0, ref_frames) match the exact-length call.
+            ref_buf = np.zeros((1, bucket.spec.padded_len * hop), np.float32)
+            n = min(ref_audio.shape[0], ref_frames * hop)
+            ref_buf[0, :n] = ref_audio[:n]
+            cond = np.asarray(self._mel(ref_buf), np.float32)[:, :ref_frames]
             args = prep_inputs(
                 bucket.spec, cond, text_ids, duration_frames,
                 sway_sampling_coef=sway_sampling_coef, seed=seed,
@@ -172,90 +191,53 @@ class ArtifactSampler:
 
 
 def make_handler(sampler: ArtifactSampler, default_ref):
-    from f5_tts_tpu.serve import MAX_BODY_BYTES, _wav_bytes
+    from f5_tts_tpu.serve import (
+        BadRequest,
+        JsonHTTPHandler,
+        _wav_bytes,
+        resolve_ref_payload,
+    )
 
     acfg = sampler.audio_cfg
+    # the largest reference any bucket can condition on: lens must stay below
+    # the bucket's padded window (prep_inputs clamps duration to lens+1)
+    max_ref_samples = (
+        (sampler.buckets[-1].spec.padded_len - 1) * acfg.hop_length
+    )
 
-    class Handler(BaseHTTPRequestHandler):
-        protocol_version = "HTTP/1.1"
-
-        def log_message(self, *a):  # quiet by default
-            pass
-
-        def _json_error(self, code: int, msg: str):
-            body = json.dumps({"error": msg}).encode()
-            self.send_response(code)
-            self.send_header("Content-Type", "application/json")
-            self.send_header("Content-Length", str(len(body)))
-            self.end_headers()
-            self.wfile.write(body)
-
+    class Handler(JsonHTTPHandler):
         def do_GET(self):
             if self.path == "/healthz":
-                body = json.dumps(
-                    {
-                        "buckets": [
-                            {"padded_len": b.spec.padded_len,
-                             "steps": b.spec.steps,
-                             "method": b.spec.method,
-                             "cfg_strength": b.spec.cfg_strength}
-                            for b in sampler.buckets
-                        ],
-                        "sample_rate": acfg.sample_rate,
-                    }
-                ).encode()
-                self.send_response(200)
-                self.send_header("Content-Type", "application/json")
-                self.send_header("Content-Length", str(len(body)))
-                self.end_headers()
-                self.wfile.write(body)
+                self._json_response(200, {
+                    "buckets": [
+                        {"padded_len": b.spec.padded_len,
+                         "steps": b.spec.steps,
+                         "method": b.spec.method,
+                         "cfg_strength": b.spec.cfg_strength}
+                        for b in sampler.buckets
+                    ],
+                    "sample_rate": acfg.sample_rate,
+                })
             else:
                 self._json_error(404, "unknown path")
 
         def do_POST(self):
             if self.path != "/synthesize":
                 return self._json_error(404, "unknown path")
-            try:
-                length = int(self.headers.get("Content-Length", 0))
-                if length > MAX_BODY_BYTES:
-                    return self._json_error(413, "request body too large")
-                payload = json.loads(self.rfile.read(length) or b"{}")
-            except (ValueError, json.JSONDecodeError):
-                return self._json_error(400, "invalid JSON body")
+            payload = self._read_payload()
+            if payload is None:
+                return
 
             text = payload.get("text")
             if not text:
                 return self._json_error(400, "missing 'text'")
-            if "ref_audio_b64" in payload:
-                try:
-                    import tempfile
-
-                    from f5_tts_tpu.audio.io import read_wav
-
-                    with tempfile.NamedTemporaryFile(suffix=".wav") as f:
-                        f.write(base64.b64decode(payload["ref_audio_b64"]))
-                        f.flush()
-                        ref_audio, sr = read_wav(f.name)
-                except Exception as e:
-                    return self._json_error(400, f"bad ref audio: {e}")
-                if sr != acfg.sample_rate:
-                    return self._json_error(
-                        400, f"reference audio must be {acfg.sample_rate} Hz"
-                    )
-                if ref_audio.ndim > 1:
-                    ref_audio = ref_audio.mean(axis=-1)
-                ref_text = payload.get("ref_text")
-                if ref_text is None:
-                    return self._json_error(400, "ref_audio_b64 needs ref_text")
-            elif default_ref is not None:
-                ref_audio, ref_text = default_ref
-            else:
-                return self._json_error(
-                    400, "no default reference configured; pass ref_audio_b64"
+            try:
+                ref_audio, ref_text = resolve_ref_payload(
+                    payload, default_ref, acfg.sample_rate,
+                    max_ref_samples=max_ref_samples,
                 )
-            rms = float(np.sqrt(np.mean(np.square(ref_audio)))) if ref_audio.size else 0.0
-            if 0.0 < rms < 0.1:
-                ref_audio = ref_audio * (0.1 / rms)
+            except BadRequest as e:
+                return self._json_error(400, str(e))
 
             duration = payload.get("duration")
             frames = (

@@ -369,9 +369,26 @@ def make_training_pipeline(
         stream = stream.shard(batch_size, sl)
         local_batch = sl.stop - sl.start
 
+    decode = decode_sample
+    if shard_by_process:
+        # sharding happens BEFORE decode (each host decodes only its own
+        # items), so a silently dropped undecodable sample would desync one
+        # process's batch stream from its peers — unequal step counts
+        # deadlock the training collectives. Fail loudly instead.
+        def decode(item, _decode=decode_sample):
+            y = _decode(item)
+            if y is None:
+                raise RuntimeError(
+                    f"decode failed for {item!r} under shard_by_process: a "
+                    "silently skipped sample would desynchronize per-process "
+                    "batch streams (peers would run unequal step counts and "
+                    "deadlock); fix or exclude the file on every host"
+                )
+            return y
+
     collate = collate_raw_audio_batch if on_device_mel else collate_audio_batch
     return (
-        stream.map(decode_sample, num_threads=num_threads)
+        stream.map(decode, num_threads=num_threads)
         .batch(
             local_batch,
             lambda b: collate(b, pad_frame_multiple),

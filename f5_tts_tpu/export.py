@@ -177,6 +177,10 @@ _MAGIC = b"F5X1"
 # (cond, lens, duration, max_dur, text, ts, seed)
 _N_CALL_ARGS = 7
 
+# SamplerSpec fields load_sampler fills from the program's input avals, never
+# from the header — header copies would collide as duplicate kwargs
+_DERIVED_SPEC_FIELDS = {"batch", "padded_len", "steps", "mel_dim"}
+
 
 def _leaf_dtype(name: str) -> np.dtype:
     """Resolve a recorded leaf dtype, including the ml_dtypes families
@@ -237,11 +241,21 @@ def save_sampler(
     `extra_meta` records informational fields in the header (e.g.
     {"method": "rk4", "cfg_strength": 2.0} — the ODE/CFG settings are baked
     into the program and otherwise not introspectable); fields matching
-    SamplerSpec names surface on load, unknown ones are ignored."""
+    SamplerSpec names surface on load, unknown ones are ignored. Keys the
+    loader derives from the program/file itself (batch, padded_len, steps,
+    mel_dim, format, weights) are reserved and rejected here — a header
+    carrying them would make the artifact unloadable."""
     import json
     import warnings
 
     meta = dict(extra_meta or {})
+    reserved = _DERIVED_SPEC_FIELDS | {"format", "weights"}
+    bad = reserved & meta.keys()
+    if bad:
+        raise ValueError(
+            f"extra_meta keys {sorted(bad)} are reserved: load_sampler derives "
+            "them from the program's input shapes / the file format"
+        )
     if model is not None:
         meta.update(
             hop_length=model.audio_cfg.hop_length,
@@ -361,6 +375,7 @@ def load_sampler(path) -> tuple[jexport.Exported | BoundSampler, SamplerSpec]:
         blob = f.read()
     meta = {}
     wmeta = None
+    pos = 0
     if blob[:4] == _MAGIC:
         hlen = int.from_bytes(blob[4:8], "little")
         meta = json.loads(blob[8 : 8 + hlen].decode())
@@ -372,27 +387,29 @@ def load_sampler(path) -> tuple[jexport.Exported | BoundSampler, SamplerSpec]:
             )
         wmeta = meta.pop("weights", None)
         # ignore unknown header keys so format-1 headers may gain fields
-        # without breaking older loaders
-        known = {f.name for f in dataclasses.fields(SamplerSpec)}
+        # without breaking older loaders; drop program-derived fields too (a
+        # header should never carry them, but a stale one must not collide
+        # with the positional kwargs below)
+        known = {f.name for f in dataclasses.fields(SamplerSpec)} - _DERIVED_SPEC_FIELDS
         meta = {k: v for k, v in meta.items() if k in known}
-        blob = blob[8 + hlen :]
+        pos = 8 + hlen
 
+    # offset-based reads, never blob slices: a slice would copy the whole
+    # remaining payload (weights + program), transiently doubling memory for
+    # base-scale external-weights artifacts (~650 MB)
     weight_leaves = []
     if wmeta:
-        pos = 0
         for entry in wmeta:
             dt = _leaf_dtype(entry["dtype"])
             count = int(np.prod(entry["shape"], dtype=np.int64)) if entry["shape"] else 1
-            nbytes = dt.itemsize * count
             weight_leaves.append(
                 np.frombuffer(blob, dtype=dt, count=count, offset=pos).reshape(
                     entry["shape"]
                 )
             )
-            pos += nbytes
-        blob = blob[pos:]
+            pos += dt.itemsize * count
 
-    exported = jexport.deserialize(blob)
+    exported = jexport.deserialize(memoryview(blob)[pos:])
     sampler: jexport.Exported | BoundSampler = exported
     if wmeta:
         n_w = len(exported.in_avals) - _N_CALL_ARGS

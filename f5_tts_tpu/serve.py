@@ -42,7 +42,11 @@ import queue
 import threading
 import time
 import wave as wave_mod
-from concurrent.futures import Future, TimeoutError as FuturesTimeoutError
+from concurrent.futures import (
+    Future,
+    InvalidStateError,
+    TimeoutError as FuturesTimeoutError,
+)
 from dataclasses import dataclass, field
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
@@ -66,6 +70,102 @@ MAX_BODY_BYTES = 32 << 20
 class Overloaded(RuntimeError):
     """Raised by MicroBatcher.submit when the bounded queue is full; the HTTP
     layer maps it to 503 + Retry-After."""
+
+
+class BadRequest(ValueError):
+    """A request-payload problem the client must fix; HTTP layers map it to
+    400. Shared with artifact_serve so both servers validate identically."""
+
+
+def resolve_ref_payload(payload, default_ref, sample_rate: int,
+                        max_ref_samples: int | None = None):
+    """Resolve a request's reference audio: decode `ref_audio_b64` (WAV) or
+    fall back to `default_ref`, validate rate/length/transcript, downmix to
+    mono, and RMS-normalize quiet references (reference: generate.py:147-156).
+    Returns (ref_audio float32 [n], ref_text); raises BadRequest on any
+    client-fixable problem. Shared by serve.py and artifact_serve.py so the
+    two HTTP surfaces cannot drift."""
+    if "ref_audio_b64" in payload:
+        import tempfile
+
+        from f5_tts_tpu.audio.io import read_wav
+
+        try:
+            raw = base64.b64decode(payload["ref_audio_b64"])
+            with tempfile.NamedTemporaryFile(suffix=".wav") as f:
+                f.write(raw)
+                f.flush()
+                ref_audio, sr = read_wav(f.name)
+        except Exception as e:
+            raise BadRequest(f"bad ref audio: {e}") from None
+        if sr != sample_rate:
+            raise BadRequest(f"reference audio must be {sample_rate} Hz")
+        if max_ref_samples is not None and ref_audio.shape[0] > max_ref_samples:
+            raise BadRequest(
+                f"reference audio is {ref_audio.shape[0] / sample_rate:.1f}s; "
+                "the model conditions on at most "
+                f"{max_ref_samples / sample_rate:.1f}s"
+            )
+        if ref_audio.ndim > 1:
+            ref_audio = ref_audio.mean(axis=-1)
+        ref_text = payload.get("ref_text")
+        if not ref_text:
+            raise BadRequest("ref_text required with ref_audio_b64")
+    else:
+        if default_ref is None:
+            raise BadRequest(
+                "no default reference at the model's sample rate; "
+                "pass ref_audio_b64"
+            )
+        ref_audio, ref_text = default_ref
+        ref_text = payload.get("ref_text", ref_text)
+    if not ref_text:
+        raise BadRequest("ref_text must be non-empty")
+
+    rms = float(np.sqrt(np.mean(np.square(ref_audio)))) if ref_audio.size else 0.0
+    if 0 < rms < TARGET_RMS:
+        ref_audio = ref_audio * TARGET_RMS / rms
+    return ref_audio.astype(np.float32), ref_text
+
+
+class JsonHTTPHandler(BaseHTTPRequestHandler):
+    """Common HTTP plumbing for both serving surfaces (serve.py's live-model
+    server and artifact_serve.py's artifact server): HTTP/1.1, quiet logs,
+    JSON responses, and error responses that close the connection (an error
+    path may not have drained the request body — under keep-alive the
+    leftover bytes would be parsed as the connection's next request)."""
+
+    protocol_version = "HTTP/1.1"
+
+    def log_message(self, fmt, *args):  # quiet
+        pass
+
+    def _json_response(self, code: int, obj, extra_headers=()):
+        body = json.dumps(obj).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        for k, v in extra_headers:
+            self.send_header(k, v)
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def _json_error(self, code: int, msg: str):
+        self._json_response(code, {"error": msg})
+        self.close_connection = True
+
+    def _read_payload(self):
+        """Parse the JSON body, or send an error response and return None."""
+        try:
+            length = int(self.headers.get("Content-Length", 0))
+            if length > MAX_BODY_BYTES:
+                self._json_error(
+                    413, f"request body exceeds {MAX_BODY_BYTES} bytes")
+                return None
+            return json.loads(self.rfile.read(length) or b"{}")
+        except (ValueError, json.JSONDecodeError):
+            self._json_error(400, "invalid JSON body")
+            return None
 
 
 @dataclass
@@ -99,6 +199,10 @@ class _Request:
     # and are skipped by the scheduler instead of synthesized for nobody
     # (None = filled from the batcher's request_timeout_s at submit)
     deadline: float | None = None
+    # True while this request counts toward the batcher's backlog bound
+    # (set by submit, cleared by _release); direct-path requests
+    # (warmup/tests via _process_batch) never count
+    counted: bool = False
 
     def group_key(self, bucket: int) -> tuple:
         # ref length doesn't key compiles (mel runs on a fixed-size window in
@@ -131,25 +235,52 @@ class MicroBatcher(threading.Thread):
         # strict rank priority would otherwise starve stream tails forever
         # under sustained rank-0 traffic
         self.starvation_s = starvation_s
-        # overload protection: the queue is BOUNDED — beyond max_queue
-        # pending requests, submit raises Overloaded (-> HTTP 503) instead of
-        # accumulating unserviceable work; and every request carries a
-        # deadline after which it fails fast instead of being synthesized
-        # for a client that already gave up
+        # overload protection: the backlog is BOUNDED — beyond max_queue
+        # outstanding requests (queued PLUS drained-but-unserved), submit
+        # raises Overloaded (-> HTTP 503) instead of accumulating
+        # unserviceable work; and every request carries a deadline after
+        # which it fails fast instead of being synthesized for a client
+        # that already gave up. The bound is an explicit counter, not the
+        # queue's maxsize: the batcher drains the queue into its internal
+        # pending list between groups, so queue occupancy alone would free
+        # slots while the true backlog keeps growing.
         self.request_timeout_s = request_timeout_s
-        self.queue: queue.Queue[_Request] = queue.Queue(maxsize=max(1, max_queue))
+        self.max_queue = max(1, max_queue)
+        self.queue: queue.Queue[_Request] = queue.Queue(maxsize=self.max_queue)
+        self._outstanding = 0
+        self._count_lock = threading.Lock()
         self._stop_evt = threading.Event()  # NOT `_stop`: Thread.join() calls the internal Thread._stop
 
     def submit(self, req: _Request) -> Future:
         if req.deadline is None and self.request_timeout_s:
             req.deadline = req.t_submit + self.request_timeout_s
+        with self._count_lock:
+            if self._outstanding >= self.max_queue:
+                raise Overloaded(
+                    f"request queue full ({self.max_queue} pending); retry later"
+                )
+            self._outstanding += 1
+        req.counted = True
         try:
             self.queue.put_nowait(req)
         except queue.Full:
+            self._release([req])
             raise Overloaded(
                 f"request queue full ({self.queue.maxsize} pending); retry later"
             ) from None
         return req.future
+
+    def _release(self, reqs: list[_Request]) -> None:
+        """Free backlog slots for requests that left the system (served,
+        expired, failed, or dropped)."""
+        n = 0
+        for r in reqs:
+            if r.counted:
+                r.counted = False
+                n += 1
+        if n:
+            with self._count_lock:
+                self._outstanding -= n
 
     def stop(self):
         self._stop_evt.set()
@@ -209,8 +340,11 @@ class MicroBatcher(threading.Thread):
             # drop anything unresolved OR already failed (a partially
             # filled batch must not synthesize for a failed future:
             # set_result on it would raise and poison its group-mates)
-            pending = [r for r in pending
-                       if r.duration_frames is not None and not r.future.done()]
+            alive = [r for r in pending
+                     if r.duration_frames is not None and not r.future.done()]
+            kept = set(map(id, alive))
+            self._release([r for r in pending if id(r) not in kept])
+            pending = alive
         if not pending:
             return pending
 
@@ -251,16 +385,19 @@ class MicroBatcher(threading.Thread):
         duration prediction) — synthesizing for a finished future would both
         waste a group slot and poison its group-mates' set_result."""
         now = time.monotonic()
-        alive = []
+        alive, dropped = [], []
         for r in pending:
             if r.future.done():
+                dropped.append(r)
                 continue
             if r.deadline is not None and now > r.deadline:
                 r.future.set_exception(
                     TimeoutError("request expired before synthesis started")
                 )
+                dropped.append(r)
                 continue
             alive.append(r)
+        self._release(dropped)
         return alive
 
     def _ref_lens(self, reqs: list[_Request]) -> np.ndarray:
@@ -384,11 +521,21 @@ class MicroBatcher(threading.Thread):
                 # reference's mel-frame edge, not the raw sample count
                 start = int(lens[i]) * hop
                 end = (int(durations[i]) - 1) * hop
-                r.future.set_result(wave[i, start : min(end, wave.shape[1])])
+                try:
+                    r.future.set_result(wave[i, start : min(end, wave.shape[1])])
+                except InvalidStateError:
+                    # cancelled mid-synthesis (e.g. a stream's all-or-nothing
+                    # shed): its result is discarded; group-mates unaffected
+                    pass
         except Exception as e:  # pragma: no cover - error propagation
             for r in group:
                 if not r.future.done():
-                    r.future.set_exception(e)
+                    try:
+                        r.future.set_exception(e)
+                    except InvalidStateError:
+                        pass
+        finally:
+            self._release(group)
 
 
 def _valid_speed(payload) -> bool:
@@ -436,107 +583,28 @@ def make_handler(batcher: MicroBatcher, default_ref: tuple[np.ndarray, str]):
     # window (_padded_refs) — reject it up front instead
     max_ref_samples = batcher.model.cfm_cfg.max_duration * acfg.hop_length
 
-    class Handler(BaseHTTPRequestHandler):
-        # HTTP/1.1 so /synthesize_stream may use chunked transfer encoding;
-        # every non-stream response carries an explicit Content-Length.
-        protocol_version = "HTTP/1.1"
-
-        def log_message(self, fmt, *args):  # quiet
-            pass
-
-        def _json_error(self, code: int, msg: str):
-            body = json.dumps({"error": msg}).encode()
-            self.send_response(code)
-            self.send_header("Content-Type", "application/json")
-            self.send_header("Content-Length", str(len(body)))
-            self.end_headers()
-            self.wfile.write(body)
-            # under HTTP/1.1 keep-alive, an error path may not have drained
-            # the request body; closing prevents the leftover bytes from
-            # being parsed as the connection's next request
-            self.close_connection = True
-
+    class Handler(JsonHTTPHandler):
         def do_GET(self):
             if self.path == "/healthz":
-                body = json.dumps({"status": "ok"}).encode()
-                self.send_response(200)
-                self.send_header("Content-Type", "application/json")
-                self.send_header("Content-Length", str(len(body)))
-                self.end_headers()
-                self.wfile.write(body)
+                self._json_response(200, {"status": "ok"})
             else:
                 self._json_error(404, "not found")
 
-        def _read_payload(self):
-            try:
-                length = int(self.headers.get("Content-Length", 0))
-                if length > MAX_BODY_BYTES:
-                    self._json_error(
-                        413, f"request body exceeds {MAX_BODY_BYTES} bytes")
-                    return None
-                return json.loads(self.rfile.read(length) or b"{}")
-            except (ValueError, json.JSONDecodeError):
-                self._json_error(400, "invalid JSON body")
-                return None
-
         def _overloaded(self):
-            body = json.dumps({"error": "server overloaded; retry later"}).encode()
-            self.send_response(503)
-            self.send_header("Content-Type", "application/json")
-            self.send_header("Retry-After", "1")
-            self.send_header("Content-Length", str(len(body)))
-            self.end_headers()
-            self.wfile.write(body)
+            self._json_response(503, {"error": "server overloaded; retry later"},
+                                extra_headers=(("Retry-After", "1"),))
             self.close_connection = True
 
         def _resolve_ref(self, payload):
             """Returns (ref_audio, ref_text) RMS-normalized, or None after
             having sent an error response."""
-            if "ref_audio_b64" in payload:
-                from f5_tts_tpu.audio.io import read_wav
-
-                raw = base64.b64decode(payload["ref_audio_b64"])
-                import tempfile
-
-                with tempfile.NamedTemporaryFile(suffix=".wav") as f:
-                    f.write(raw)
-                    f.flush()
-                    ref_audio, sr = read_wav(f.name)
-                if sr != acfg.sample_rate:
-                    self._json_error(
-                        400, f"reference audio must be {acfg.sample_rate} Hz")
-                    return None
-                if ref_audio.shape[0] > max_ref_samples:
-                    self._json_error(
-                        400,
-                        "reference audio is "
-                        f"{ref_audio.shape[0] / acfg.sample_rate:.1f}s; the "
-                        "model conditions on at most "
-                        f"{max_ref_samples / acfg.sample_rate:.1f}s",
-                    )
-                    return None
-                if ref_audio.ndim > 1:
-                    ref_audio = ref_audio.mean(axis=-1)
-                ref_text = payload.get("ref_text")
-                if not ref_text:
-                    self._json_error(400, "ref_text required with ref_audio_b64")
-                    return None
-            else:
-                if default_ref is None:
-                    self._json_error(
-                        400, "no default reference at the model's sample "
-                        "rate; pass ref_audio_b64")
-                    return None
-                ref_audio, ref_text = default_ref
-                ref_text = payload.get("ref_text", ref_text)
-            if not ref_text:
-                self._json_error(400, "ref_text must be non-empty")
+            try:
+                return resolve_ref_payload(payload, default_ref,
+                                           acfg.sample_rate,
+                                           max_ref_samples=max_ref_samples)
+            except BadRequest as e:
+                self._json_error(400, str(e))
                 return None
-
-            rms = float(np.sqrt(np.mean(np.square(ref_audio))))
-            if 0 < rms < TARGET_RMS:
-                ref_audio = ref_audio * TARGET_RMS / rms
-            return ref_audio.astype(np.float32), ref_text
 
         def _build_request(self, payload, text, ref_audio, ref_text, dur_frames):
             req = _Request(
@@ -608,8 +676,12 @@ def make_handler(batcher: MicroBatcher, default_ref: tuple[np.ndarray, str]):
                 if req is None:
                     return
 
+                # +30 s of synthesis headroom past the queue deadline;
+                # --request-timeout 0 disables expiry, so wait indefinitely
+                # instead of inheriting a spurious 30 s HTTP cutoff
                 samples = batcher.submit(req).result(
-                    timeout=batcher.request_timeout_s + 30
+                    timeout=(batcher.request_timeout_s + 30)
+                    if batcher.request_timeout_s else None
                 )
                 body = _wav_bytes(samples, acfg.sample_rate)
                 self.send_response(200)
@@ -684,7 +756,9 @@ def make_handler(batcher: MicroBatcher, default_ref: tuple[np.ndarray, str]):
             self._write_chunk(_wav_stream_header(acfg.sample_rate))
             try:
                 for fut in futures:
-                    pcm = _pcm16(fut.result(timeout=batcher.request_timeout_s + 30))
+                    pcm = _pcm16(fut.result(
+                        timeout=(batcher.request_timeout_s + 30)
+                        if batcher.request_timeout_s else None))
                     # a zero-length chunk IS the chunked-encoding terminator —
                     # never emit one mid-stream (possible when a sentence's
                     # clamped duration leaves no generated frames)

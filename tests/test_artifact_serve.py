@@ -105,11 +105,14 @@ def test_http_synthesize_matches_direct_export_call(server, artifacts, ref):
         pcm_http = np.frombuffer(w.readframes(w.getnframes()), "<i2")
     assert pcm_http.size > 0 and pcm_http.size % HOP == 0
 
-    # replicate through the export API directly (incl. the HTTP layer's RMS
-    # normalization of quiet references): same trim, same samples
+    # replicate through the export API directly, preprocessing the reference
+    # with the SAME shared helper the HTTP layer uses (serve.py's
+    # resolve_ref_payload — RMS normalization of quiet references): same
+    # trim, same samples
+    from f5_tts_tpu.serve import resolve_ref_payload
+
     s = httpd.sampler
-    rms = float(np.sqrt(np.mean(np.square(ref))))
-    ref_n = ref * (0.1 / rms) if 0.0 < rms < 0.1 else ref
+    ref_n, _ = resolve_ref_payload({}, (ref, "ref words"), SR)
     wave = s.synthesize("hello world", ref_n, "ref words",
                         int(0.5 * SR / HOP), seed=3)
     pcm_direct = (np.clip(wave, -1, 1) * 32767.0).astype("<i2")
@@ -163,3 +166,23 @@ def test_healthz_and_warmup(server):
         info = json.loads(r.read())
     assert [b["padded_len"] for b in info["buckets"]] == [64, 128]
     assert all(b["steps"] == 2 for b in info["buckets"])
+
+
+def test_clamp_aware_bucket_upgrade(artifacts):
+    """A request whose REFERENCE pushes prep_inputs' duration clamp past the
+    small bucket must route to the larger bucket instead of erroring: the
+    bucket is picked from the clamped requirement max(duration, ref_frames+1,
+    text_len+1), not the raw requested duration."""
+    s = ArtifactSampler(artifacts)
+    rng = np.random.default_rng(1)
+    long_ref = (0.1 * rng.standard_normal(100 * HOP)).astype(np.float32)
+    # raw duration 110 fits neither constraint of the 64 bucket once the
+    # 100-frame reference forces lens=100 (old code picked 64 from 110>64...
+    # and a 40-frame request would have picked 64 then failed in prep_inputs)
+    wave = s.synthesize("hi", long_ref, "ref words", 110)
+    assert wave.size == (110 - 1 - 100) * HOP  # generated region, 128 bucket
+
+    # raw duration that FITS the small bucket but whose ref cannot: upgraded,
+    # not a ValueError
+    wave = s.synthesize("hi", long_ref, "ref words", 40)
+    assert wave.size == 0  # duration clamped to lens+1 -> empty generated region

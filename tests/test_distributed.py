@@ -248,3 +248,27 @@ def test_two_process_dp_train_step(tmp_path):
     losses = {line.split("loss=")[1] for out in outs
               for line in out.splitlines() if line.startswith("OK ")}
     assert len(losses) == 1, f"processes disagree on the loss: {outs}"
+
+
+def test_shard_mode_decode_failure_raises(tmp_path, monkeypatch):
+    """Under shard_by_process an undecodable clip fails LOUDLY: decode runs
+    AFTER the per-process shard, so a silently dropped sample would shift one
+    process's batch boundaries and deadlock the training collectives with
+    unequal step counts. Without sharding the same clip is silently skipped
+    (single-host semantics, reference: data.py decode drop)."""
+    from f5_tts_tpu.data.libritts import load_dir
+
+    root = _write_clips(tmp_path, 4)
+    (root / "0" / "c1.wav").write_bytes(b"not a wav file")
+    monkeypatch.setattr(D.jax, "process_count", lambda: 1)
+    monkeypatch.setattr(D.jax, "process_index", lambda: 0)
+
+    def pipeline(**kw):
+        return make_training_pipeline(
+            load_dir(root), batch_size=2, epochs=1, shuffle_buffer=8,
+            num_threads=1, seed=11, on_device_mel=True,
+            pad_frame_multiple=64, **kw)
+
+    with pytest.raises(RuntimeError, match="desynchronize"):
+        list(pipeline(shard_by_process=True))
+    assert len(list(pipeline())) >= 1  # unsharded: silent skip, no error

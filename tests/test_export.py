@@ -397,3 +397,17 @@ def test_header_extra_meta_records_sampler_config(tiny_model, tmp_path):
                                "some_future_field": [1]})
     _, spec = E.load_sampler(p)
     assert (spec.method, spec.cfg_strength) == ("euler", 1.5)
+
+
+def test_reserved_extra_meta_rejected(tiny_model, tmp_path):
+    """extra_meta keys the loader derives from the program's input avals
+    (batch, padded_len, steps, mel_dim) are rejected at save time — a header
+    carrying them would crash SamplerSpec with duplicate kwargs on load,
+    making the artifact permanently unloadable."""
+    exp = E.export_sampler(tiny_model, batch=1, steps=2, method="euler")
+    with pytest.raises(ValueError, match="reserved"):
+        E.save_sampler(exp, tmp_path / "x.bin", model=tiny_model,
+                       extra_meta={"steps": 2})
+    with pytest.raises(ValueError, match="reserved"):
+        E.save_sampler(exp, tmp_path / "x.bin", model=tiny_model,
+                       extra_meta={"weights": []})

@@ -484,3 +484,38 @@ def test_aged_backfill_outranks_fresh_rank0():
     urgent = _mk_req("urgent", 100, rank=0)
     b._step([young, urgent], drain=False)
     assert [r.text for r in b.dispatched[0]] == ["urgent"]
+
+
+def test_backlog_bound_counts_drained_requests():
+    """The overload bound is the TOTAL backlog (queued + drained into the
+    batcher's internal pending list), not queue occupancy: the batcher drains
+    the queue between groups, so a bound on queue slots alone would admit an
+    unbounded pending list under sustained arrival."""
+    from f5_tts_tpu.serve import MicroBatcher, Overloaded
+
+    b = MicroBatcher(_tiny_model_for_batcher(), max_queue=2)  # not started
+    r1, r2 = _mk_req("a", 64), _mk_req("b", 64)
+    b.submit(r1)
+    b.submit(r2)
+    drained = [b.queue.get_nowait(), b.queue.get_nowait()]  # the drain loop
+    assert drained and b.queue.qsize() == 0
+    with pytest.raises(Overloaded):  # queue empty, backlog still full
+        b.submit(_mk_req("c", 64))
+    b._release(drained[:1])  # one request leaves the system
+    b.submit(_mk_req("d", 64))  # exactly one slot freed
+    with pytest.raises(Overloaded):
+        b.submit(_mk_req("e", 64))
+
+
+def test_cancelled_request_does_not_poison_group():
+    """A future cancelled while its group is mid-synthesis (a stream's
+    all-or-nothing shed path) must not fail its group-mates: set_result on
+    the cancelled future raises InvalidStateError, swallowed per-future."""
+    from f5_tts_tpu.serve import MicroBatcher
+
+    b = MicroBatcher(_tiny_model_for_batcher())
+    gone, live = _mk_req("gone", 64), _mk_req("live", 64)
+    assert gone.future.cancel()
+    b._run_group([gone, live])
+    assert live.future.result(timeout=5) is not None
+    assert gone.future.cancelled()
