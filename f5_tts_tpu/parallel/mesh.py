@@ -102,19 +102,59 @@ def _spec_for(path: str, leaf) -> P:
     return P()  # everything else replicated
 
 
-def param_specs(params: Params) -> Any:
-    """PartitionSpec pytree matching a DiT/duration param tree."""
-    return jax.tree_util.tree_map_with_path(
-        lambda path, leaf: _spec_for(_path_str(path), leaf), params
-    )
+def _with_fsdp(spec: P, leaf, data_size: int) -> P:
+    """Upgrade a TP spec with fully-sharded-data-parallel placement: shard the
+    largest still-unsharded weight dim over "data" (ZeRO — params AND the
+    optimizer moments that mirror them live 1/data-th per device; GSPMD
+    all-gathers each layer's weights at its use site and reduce-scatters its
+    gradients, riding ICI).
+
+    Never shards the leading depth axis of scan-stacked leaves (ndim >= 3):
+    `lax.scan` dynamic-slices that axis every layer, and slicing a sharded
+    axis would all-gather the whole stack per iteration instead of one
+    layer's worth. 1D leaves (biases, norms) stay replicated — they are
+    noise next to the matrices and uneven splits aren't worth the layout
+    churn. Dims not divisible by the data-axis size stay unsharded."""
+    shape = np.shape(leaf)
+    ndim = len(shape)
+    if ndim < 2 or data_size <= 1:
+        return spec
+    entries = list(spec) + [None] * (ndim - len(spec))
+    start = 1 if ndim >= 3 else 0
+    cands = [
+        i
+        for i in range(start, ndim)
+        if entries[i] is None and shape[i] % data_size == 0 and shape[i] >= data_size
+    ]
+    if not cands:
+        return spec
+    entries[max(cands, key=lambda i: shape[i])] = "data"
+    return P(*entries)
 
 
-def state_specs(state: dict) -> dict:
+def _tree_specs(tree, fsdp_data_size: int | None):
+    def spec(path, leaf):
+        s = _spec_for(_path_str(path), leaf)
+        if fsdp_data_size is not None:
+            s = _with_fsdp(s, leaf, fsdp_data_size)
+        return s
+
+    return jax.tree_util.tree_map_with_path(spec, tree)
+
+
+def param_specs(params: Params, fsdp_data_size: int | None = None) -> Any:
+    """PartitionSpec pytree matching a DiT/duration param tree. With
+    `fsdp_data_size` (the mesh's data-axis size), weight matrices are
+    additionally sharded over "data" (see _with_fsdp)."""
+    return _tree_specs(params, fsdp_data_size)
+
+
+def state_specs(state: dict, fsdp_data_size: int | None = None) -> dict:
     """Specs for a full train state: params + optimizer moments (which mirror
-    the param tree paths, so the same path rules apply) + scalars."""
-    return jax.tree_util.tree_map_with_path(
-        lambda path, leaf: _spec_for(_path_str(path), leaf), state
-    )
+    the param tree paths AND shapes, so the same rules shard them identically
+    — under FSDP this is the ZeRO win: Adam's mu/nu are 2x the params and
+    never need gathering at all) + scalars."""
+    return _tree_specs(state, fsdp_data_size)
 
 
 def _named(mesh: Mesh, spec_tree):
@@ -125,12 +165,20 @@ def _named(mesh: Mesh, spec_tree):
     )
 
 
-def shard_params(params: Params, mesh: Mesh) -> Params:
-    return jax.device_put(params, _named(mesh, param_specs(params)))
+def _fsdp_size(mesh: Mesh, fsdp: bool) -> int | None:
+    return int(mesh.shape["data"]) if fsdp else None
 
 
-def shard_state(state: dict, mesh: Mesh) -> dict:
-    return jax.device_put(state, _named(mesh, state_specs(state)))
+def shard_params(params: Params, mesh: Mesh, fsdp: bool = False) -> Params:
+    return jax.device_put(
+        params, _named(mesh, param_specs(params, _fsdp_size(mesh, fsdp)))
+    )
+
+
+def shard_state(state: dict, mesh: Mesh, fsdp: bool = False) -> dict:
+    return jax.device_put(
+        state, _named(mesh, state_specs(state, _fsdp_size(mesh, fsdp)))
+    )
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
@@ -145,17 +193,33 @@ def sequence_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P("data"))
 
 
-def shard_train_step(step_fn, mesh: Mesh, state_example: dict):
+def shard_train_step(
+    step_fn, mesh: Mesh, state_example: dict, grad_accum: int = 1,
+    fsdp: bool = False,
+):
     """Jit a (state, mel, text, lens, key) -> (state, loss) step with
     DP(+SP)+TP shardings. The state is donated (in-place update on device).
 
     mel [b, n, d] and text [b, n] take the sequence sharding (frame axis over
     "seq" when present); per-sample lens stays batch-only. No model-code
     annotations are needed: GSPMD propagates the input shardings through the
-    whole loss/grad/update graph and inserts the collectives."""
-    state_sh = _named(mesh, state_specs(state_example))
+    whole loss/grad/update graph and inserts the collectives.
+
+    With grad_accum > 1 the inputs carry a leading microbatch axis
+    ([k, b, ...]); that axis is replicated (the scan iterates it serially)
+    and the per-microbatch dims shard exactly as the k=1 case — every device
+    holds its slice of EVERY microbatch, so no resharding happens between
+    scan iterations.
+
+    With fsdp=True the state (params + Adam moments) is additionally sharded
+    over the data axis (see _with_fsdp) — pass the SAME flag to shard_state
+    so the in/out shardings match the state's actual placement."""
+    state_sh = _named(mesh, state_specs(state_example, _fsdp_size(mesh, fsdp)))
     data_sh = batch_sharding(mesh)
     seq_sh = sequence_sharding(mesh)
+    if grad_accum > 1:
+        data_sh = NamedSharding(mesh, P(None, *data_sh.spec))
+        seq_sh = NamedSharding(mesh, P(None, *seq_sh.spec))
     repl = NamedSharding(mesh, P())
     return jax.jit(
         step_fn,

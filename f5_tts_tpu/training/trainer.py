@@ -82,24 +82,26 @@ def init_train_state(
     return state
 
 
-def make_train_step(
-    dit_cfg: DiTConfig,
-    cfm_cfg: CFMConfig,
+def _build_step(
+    loss_fn,
     optimizer: optax.GradientTransformation,
-    ema_decay: float | None = None,
+    ema_decay: float | None,
+    grad_accum: int,
 ):
-    """Build the pure (state, batch, key) -> (state, loss) step. Callers jit it
-    (optionally with shardings; see parallel/mesh.py and __graft_entry__).
+    """Shared step builder. `loss_fn(params, inp, text, lens, key) -> scalar`.
 
-    With `ema_decay`, the state carries an exponential moving average of the
-    params — the form the published F5-TTS checkpoints are in ("ema_model.*"
-    keys; the reference trainer itself never maintains one, trainer.py)."""
+    grad_accum == 1: one value_and_grad -> clip/AdamW -> (optional) EMA.
 
-    def train_step(state: dict, mel: jax.Array, text: jax.Array, lens: jax.Array, key: jax.Array):
-        def loss_fn(p):
-            return cfm_loss(p, dit_cfg, cfm_cfg, key, mel, text, lens)
+    grad_accum == k > 1: inputs carry a leading microbatch axis [k, b, ...];
+    a `lax.scan` runs fwd+bwd per microbatch (activation memory stays at
+    microbatch scale) and accumulates gradients in a float32 carry, then ONE
+    optimizer/EMA update applies the mean — the TPU-idiomatic large-effective-
+    batch step: one jit, static shapes, no per-microbatch dispatch. Each
+    microbatch draws its own folded PRNG key and its loss is the masked mean
+    over ITS OWN span elements, so microbatches weight equally (exactly what k
+    independent steps would each compute); the reported loss is their mean."""
 
-        loss, grads = jax.value_and_grad(loss_fn)(state["params"])
+    def apply_update(state, grads, loss):
         updates, opt_state = optimizer.update(grads, state["opt_state"], state["params"])
         params = optax.apply_updates(state["params"], updates)
         new_state = {"params": params, "opt_state": opt_state, "step": state["step"] + 1}
@@ -109,7 +111,69 @@ def make_train_step(
             )
         return new_state, loss
 
+    if grad_accum <= 1:
+
+        def train_step(state: dict, inp: jax.Array, text: jax.Array, lens: jax.Array, key: jax.Array):
+            loss, grads = jax.value_and_grad(loss_fn)(state["params"], inp, text, lens, key)
+            return apply_update(state, grads, loss)
+
+        return train_step
+
+    k = int(grad_accum)
+
+    def train_step(state: dict, inp: jax.Array, text: jax.Array, lens: jax.Array, key: jax.Array):
+        keys = jax.random.split(key, k)
+
+        def micro(carry, xs):
+            g_acc, l_acc = carry
+            inp_i, text_i, lens_i, key_i = xs
+            loss, grads = jax.value_and_grad(loss_fn)(
+                state["params"], inp_i, text_i, lens_i, key_i
+            )
+            g_acc = jax.tree.map(
+                lambda a, g: a + g.astype(jnp.float32), g_acc, grads
+            )
+            return (g_acc, l_acc + loss.astype(jnp.float32)), None
+
+        zeros = jax.tree.map(
+            lambda p: jnp.zeros(p.shape, jnp.float32), state["params"]
+        )
+        (g_sum, l_sum), _ = jax.lax.scan(
+            micro, (zeros, jnp.zeros((), jnp.float32)), (inp, text, lens, keys)
+        )
+        grads = jax.tree.map(
+            lambda g, p: (g / k).astype(p.dtype), g_sum, state["params"]
+        )
+        return apply_update(state, grads, l_sum / k)
+
     return train_step
+
+
+def make_train_step(
+    dit_cfg: DiTConfig,
+    cfm_cfg: CFMConfig,
+    optimizer: optax.GradientTransformation,
+    ema_decay: float | None = None,
+    grad_accum: int = 1,
+):
+    """Build the pure (state, batch, key) -> (state, loss) step. Callers jit it
+    (optionally with shardings; see parallel/mesh.py and __graft_entry__).
+
+    With `ema_decay`, the state carries an exponential moving average of the
+    params — the form the published F5-TTS checkpoints are in ("ema_model.*"
+    keys; the reference trainer itself never maintains one, trainer.py).
+
+    With `grad_accum=k > 1`, inputs take a leading microbatch axis
+    ([k, b, n, d] mel / [k, b, nt] text / [k, b] lens) and the step runs k
+    sequential fwd+bwd passes inside one jit before a single optimizer update
+    (see _build_step) — large effective batches without the activation memory
+    of one giant batch. The reference has no equivalent (its trainer is
+    single-step only, reference: trainer.py:214-231)."""
+
+    def loss_fn(p, mel, text, lens, key):
+        return cfm_loss(p, dit_cfg, cfm_cfg, key, mel, text, lens)
+
+    return _build_step(loss_fn, optimizer, ema_decay, grad_accum)
 
 
 def make_train_step_from_audio(
@@ -118,6 +182,7 @@ def make_train_step_from_audio(
     optimizer: optax.GradientTransformation,
     ema_decay: float | None = None,
     audio_cfg: "AudioConfig | None" = None,
+    grad_accum: int = 1,
 ):
     """Train step taking RAW audio [b, n_samples]: the mel front-end runs
     inside the jitted step ON THE ACCELERATOR (µs of MXU time) instead of on
@@ -129,23 +194,26 @@ def make_train_step_from_audio(
     Semantics match the host-mel step exactly: audio must be zero-padded to
     a whole frame-bucket (collate_raw_audio_batch), and the padded frames are
     re-zeroed after the mel (the training forward uses no attention mask —
-    reference cfm.py:234-241 — so the cond padding value is load-bearing)."""
+    reference cfm.py:234-241 — so the cond padding value is load-bearing).
+
+    With `grad_accum=k > 1`, audio takes a leading microbatch axis
+    [k, b, n_samples] (text/lens likewise) and the mel runs per microbatch
+    inside the accumulation scan — see make_train_step."""
     from f5_tts_tpu.audio.mel import log_mel_spectrogram
     from f5_tts_tpu.config import AudioConfig
 
     acfg = audio_cfg or AudioConfig()
-    inner = make_train_step(dit_cfg, cfm_cfg, optimizer, ema_decay=ema_decay)
 
-    def train_step(state: dict, audio: jax.Array, text: jax.Array, lens: jax.Array, key: jax.Array):
+    def loss_fn(p, audio, text, lens, key):
         mel = log_mel_spectrogram(
             audio, sample_rate=acfg.sample_rate, n_mels=acfg.n_mels,
             n_fft=acfg.n_fft, hop_length=acfg.hop_length,
         )
         frames = jnp.arange(mel.shape[1])[None, :]
         mel = jnp.where((frames < lens[:, None])[..., None], mel, 0.0)
-        return inner(state, mel, text, lens, key)
+        return cfm_loss(p, dit_cfg, cfm_cfg, key, mel, text, lens)
 
-    return train_step
+    return _build_step(loss_fn, optimizer, ema_decay, grad_accum)
 
 
 class F5TTSTrainer:
@@ -162,6 +230,7 @@ class F5TTSTrainer:
         mesh=None,
         ema_decay: float | None = None,
         use_orbax: bool = False,
+        fsdp: bool = False,
     ):
         self.model = model
         self.num_warmup_steps = num_warmup_steps
@@ -174,6 +243,10 @@ class F5TTSTrainer:
         self.mesh = mesh
         self.ema_decay = ema_decay
         self.use_orbax = use_orbax
+        # ZeRO/FSDP: shard params + optimizer moments over the mesh's data
+        # axis (parallel/mesh._with_fsdp) — for models whose replicated
+        # train state wouldn't fit one chip. No effect without a mesh.
+        self.fsdp = fsdp
         self.ckpt_mgr = None
         self.state: dict | None = None
 
@@ -345,13 +418,21 @@ class F5TTSTrainer:
         log_every: int = 10,
         seed: int = 0,
         on_device_mel: bool = False,
+        grad_accum: int = 1,
     ) -> None:
         """Main loop (reference: trainer.py:163-295). `train_dataset` yields
         dicts with "mel_spec" [b, n, d] (or [b, 1, n, d]), "mel_len" [b], and
         "transcript" [b, nt] int ids padded with -1 — or, with
         on_device_mel=True, "audio" [b, n_samples] raw batches
         (data.loader.make_training_pipeline(on_device_mel=True)) whose mel is
-        computed inside the jitted step on the accelerator."""
+        computed inside the jitted step on the accelerator.
+
+        `grad_accum=k > 1` splits each yielded batch into k equal microbatches
+        processed sequentially inside ONE jitted step (lax.scan) before a
+        single optimizer update: the effective batch is the full yielded batch
+        while activation memory stays at batch/k scale. The yielded batch size
+        must be divisible by k. One optimizer update per yielded batch — the
+        step counter, LR schedule, EMA, and checkpoints all count UPDATES."""
         if self.log_with_wandb:
             import wandb
 
@@ -389,22 +470,29 @@ class F5TTSTrainer:
             start_step = checkpoint
             print(f"Starting training at step {start_step}")
 
+        if grad_accum < 1:
+            raise ValueError(f"grad_accum must be >= 1, got {grad_accum}")
         if on_device_mel:
             step_fn = make_train_step_from_audio(
                 self.model.dit_cfg, self.model.cfm_cfg, optimizer,
                 ema_decay=self.ema_decay, audio_cfg=self.model.audio_cfg,
+                grad_accum=grad_accum,
             )
         else:
             step_fn = make_train_step(
-                self.model.dit_cfg, self.model.cfm_cfg, optimizer, ema_decay=self.ema_decay
+                self.model.dit_cfg, self.model.cfm_cfg, optimizer,
+                ema_decay=self.ema_decay, grad_accum=grad_accum,
             )
         if self.mesh is not None:
             from f5_tts_tpu.parallel.mesh import shard_train_step
 
-            train_step = shard_train_step(step_fn, self.mesh, self.state)
+            train_step = shard_train_step(
+                step_fn, self.mesh, self.state, grad_accum=grad_accum,
+                fsdp=self.fsdp,
+            )
             from f5_tts_tpu.parallel.mesh import shard_state
 
-            self.state = shard_state(self.state, self.mesh)
+            self.state = shard_state(self.state, self.mesh, fsdp=self.fsdp)
         else:
             train_step = jax.jit(step_fn, donate_argnums=(0,))
 
@@ -433,6 +521,18 @@ class F5TTSTrainer:
                 if text.shape[-1] < seq_len:
                     text = np.pad(text, ((0, 0), (0, seq_len - text.shape[-1])), constant_values=-1)
                 text = jnp.asarray(text[:, :seq_len], dtype=jnp.int32)
+
+                if grad_accum > 1:
+                    b = inp.shape[0]
+                    if b % grad_accum:
+                        raise ValueError(
+                            f"batch size {b} is not divisible by "
+                            f"grad_accum={grad_accum}"
+                        )
+                    micro = b // grad_accum
+                    inp = inp.reshape(grad_accum, micro, *inp.shape[1:])
+                    text = text.reshape(grad_accum, micro, *text.shape[1:])
+                    mel_lens = mel_lens.reshape(grad_accum, micro)
 
                 key = jax.random.fold_in(root_key, global_step)
                 self.state, loss = train_step(self.state, inp, text, mel_lens, key)
