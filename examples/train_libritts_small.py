@@ -3,7 +3,10 @@
 Mirrors the reference example (reference: train_libritts_small.py): a 768-dim
 16-layer DiT over a byte-level vocab, batched to ~40 s of audio, mel padded to
 multiples of 256 frames. Scales across chips by passing a mesh to the trainer
-(data-parallel batches + tensor-parallel attention/FF).
+(data-parallel batches + tensor-parallel attention/FF); add fsdp=True to
+shard params + optimizer moments over the data axis (ZeRO) and
+train(grad_accum=k) for k-microbatch accumulation inside the jitted step —
+see docs/SCALING.md.
 """
 
 import jax

@@ -21,7 +21,7 @@ import optax
 
 from f5_tts_tpu.models.convert import convert_duration_state, export_duration_state
 from f5_tts_tpu.models.duration import DurationPredictor, duration_forward
-from f5_tts_tpu.training.trainer import init_train_state, make_optimizer
+from f5_tts_tpu.training.trainer import _build_step, init_train_state, make_optimizer
 
 
 def make_duration_train_step(
@@ -29,25 +29,20 @@ def make_duration_train_step(
     optimizer: optax.GradientTransformation,
     frames_per_second: float,
     ema_decay: float | None = None,
+    grad_accum: int = 1,
 ):
-    def train_step(state, mel, text, lens, key):
-        def loss_fn(p):
-            return duration_forward(
-                p, cfg, mel, text, lens, key=key, return_loss=True,
-                frames_per_second=frames_per_second,
-            )
+    """Same step mechanics as the CFM trainer (trainer._build_step): one
+    value_and_grad -> clip/AdamW -> optional EMA, or with grad_accum=k > 1 a
+    lax.scan over k microbatches ([k, b, ...] inputs, f32 gradient carry,
+    single update)."""
 
-        loss, grads = jax.value_and_grad(loss_fn)(state["params"])
-        updates, opt_state = optimizer.update(grads, state["opt_state"], state["params"])
-        params = optax.apply_updates(state["params"], updates)
-        new_state = {"params": params, "opt_state": opt_state, "step": state["step"] + 1}
-        if ema_decay is not None:
-            new_state["ema"] = jax.tree.map(
-                lambda e, p: ema_decay * e + (1.0 - ema_decay) * p, state["ema"], params
-            )
-        return new_state, loss
+    def loss_fn(p, mel, text, lens, key):
+        return duration_forward(
+            p, cfg, mel, text, lens, key=key, return_loss=True,
+            frames_per_second=frames_per_second,
+        )
 
-    return train_step
+    return _build_step(loss_fn, optimizer, ema_decay, grad_accum)
 
 
 class DurationTrainer:
@@ -61,6 +56,7 @@ class DurationTrainer:
         mesh=None,
         ema_decay: float | None = None,
         use_orbax: bool = False,
+        fsdp: bool = False,
     ):
         self.model = model
         self.num_warmup_steps = num_warmup_steps
@@ -70,6 +66,8 @@ class DurationTrainer:
         self.mesh = mesh
         self.ema_decay = ema_decay
         self.use_orbax = use_orbax
+        # ZeRO/FSDP placement, as in F5TTSTrainer (no effect without a mesh)
+        self.fsdp = fsdp
         self.ckpt_mgr = None
         self.state: dict | None = None
 
@@ -143,9 +141,12 @@ class DurationTrainer:
         checkpoint: int | str | None = None,  # step number or "latest"
         log_every: int = 10,
         seed: int = 0,
+        grad_accum: int = 1,
     ) -> None:
         """`train_dataset` yields dicts with "mel_spec", "mel_len",
-        "transcript" (same batch schema as the CFM trainer)."""
+        "transcript" (same batch schema as the CFM trainer). `grad_accum=k`
+        splits each yielded batch into k microbatches accumulated inside one
+        jitted step (see F5TTSTrainer.train); batch size must divide by k."""
         if self.log_with_wandb:
             import wandb
 
@@ -182,15 +183,21 @@ class DurationTrainer:
             start_step = checkpoint
             print(f"Starting training at step {start_step}")
 
+        if grad_accum < 1:
+            raise ValueError(f"grad_accum must be >= 1, got {grad_accum}")
         fps = self.model.audio_cfg.sample_rate / self.model.audio_cfg.hop_length
         step_fn = make_duration_train_step(
-            self.model.cfg, optimizer, fps, ema_decay=self.ema_decay
+            self.model.cfg, optimizer, fps, ema_decay=self.ema_decay,
+            grad_accum=grad_accum,
         )
         if self.mesh is not None:
             from f5_tts_tpu.parallel.mesh import shard_state, shard_train_step
 
-            train_step = shard_train_step(step_fn, self.mesh, self.state)
-            self.state = shard_state(self.state, self.mesh)
+            train_step = shard_train_step(
+                step_fn, self.mesh, self.state, grad_accum=grad_accum,
+                fsdp=self.fsdp,
+            )
+            self.state = shard_state(self.state, self.mesh, fsdp=self.fsdp)
         else:
             train_step = jax.jit(step_fn, donate_argnums=(0,))
 
@@ -212,6 +219,18 @@ class DurationTrainer:
                 if text.ndim == 3:
                     text = text[:, :, 0] if text.shape[-1] == 1 else text[:, 0]
                 text = jnp.asarray(text, dtype=jnp.int32)
+
+                if grad_accum > 1:
+                    b = mel_spec.shape[0]
+                    if b % grad_accum:
+                        raise ValueError(
+                            f"batch size {b} is not divisible by "
+                            f"grad_accum={grad_accum}"
+                        )
+                    micro = b // grad_accum
+                    mel_spec = mel_spec.reshape(grad_accum, micro, *mel_spec.shape[1:])
+                    text = text.reshape(grad_accum, micro, *text.shape[1:])
+                    mel_lens = mel_lens.reshape(grad_accum, micro)
 
                 key = jax.random.fold_in(root_key, global_step)
                 self.state, loss = train_step(self.state, mel_spec, text, mel_lens, key)

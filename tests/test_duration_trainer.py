@@ -152,3 +152,63 @@ def test_weights_only_resume_warns(tmp_path, capsys):
     trainer2.train(_dataset(5), learning_rate=1e-4, total_steps=5, save_every=10**9,
                    checkpoint="latest")
     assert "WEIGHTS-ONLY" in capsys.readouterr().out
+
+
+def test_duration_grad_accum_matches_manual_average():
+    """make_duration_train_step(grad_accum=k) == per-microbatch grads with the
+    same folded keys, f32 mean, one optimizer update (trainer._build_step is
+    shared with the CFM trainer; this pins the duration loss_fn wiring)."""
+    import optax
+
+    from f5_tts_tpu.models.duration import duration_forward
+
+    k, b, frames = 2, 2, 40
+    fps = 24000 / 256
+    params = DurationPredictor.init(jax.random.key(0), TINY).params
+    opt = make_optimizer(learning_rate=1e-3, num_warmup_steps=1, total_steps=100)
+    ks = jax.random.split(jax.random.key(5), 2)
+    mel = jax.random.normal(ks[0], (k, b, frames, 100))
+    text = jax.random.randint(ks[1], (k, b, 8), 0, 200)
+    lens = jnp.full((k, b), frames, jnp.int32)
+    key = jax.random.key(11)
+
+    state = init_train_state(params, opt)
+    step = jax.jit(make_duration_train_step(TINY, opt, fps, grad_accum=k))
+    new_state, loss = step(state, mel, text, lens, key)
+
+    keys = jax.random.split(key, k)
+    g_sum = jax.tree.map(lambda p: jnp.zeros(p.shape, jnp.float32), params)
+    l_sum = 0.0
+    for i in range(k):
+        li, gi = jax.value_and_grad(
+            lambda p: duration_forward(
+                p, TINY, mel[i], text[i], lens[i], key=keys[i],
+                return_loss=True, frames_per_second=fps,
+            )
+        )(params)
+        g_sum = jax.tree.map(lambda a, g: a + g.astype(jnp.float32), g_sum, gi)
+        l_sum = l_sum + float(li)
+    grads = jax.tree.map(lambda g, p: (g / k).astype(p.dtype), g_sum, params)
+    updates, _ = opt.update(grads, state["opt_state"], params)
+    want = optax.apply_updates(params, updates)
+
+    np.testing.assert_allclose(float(loss), l_sum / k, rtol=1e-6)
+    diffs = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
+                         new_state["params"], want)
+    assert max(jax.tree.leaves(diffs)) < 1e-6
+    assert int(new_state["step"]) == 1
+
+
+def test_duration_trainer_grad_accum_loop(tmp_path):
+    """DurationTrainer.train(grad_accum=2) reshapes batches and counts
+    UPDATES; non-divisible batches fail loudly."""
+    model = DurationPredictor.init(jax.random.key(0), TINY)
+    trainer = DurationTrainer(model, num_warmup_steps=2, results_dir=tmp_path)
+    trainer.train(_dataset(n=3, b=4), learning_rate=1e-4, total_steps=3,
+                  save_every=10**9, log_every=1, grad_accum=2)
+    assert int(trainer.state["step"]) == 3
+
+    trainer2 = DurationTrainer(model, num_warmup_steps=2, results_dir=tmp_path)
+    with pytest.raises(ValueError, match="not divisible"):
+        trainer2.train(_dataset(n=1, b=3), total_steps=1, save_every=10**9,
+                       grad_accum=2)

@@ -60,6 +60,10 @@ STEPS = 3
 
 COLLECTIVES = ("all-reduce", "all-gather", "reduce-scatter", "collective-permute", "all-to-all")
 
+# everything from this heading down in docs/SCALING.md is hand-maintained
+# (usage guide + multi-host notes) and preserved across --out regenerations
+_TAIL_MARKER = "## Gradient accumulation + FSDP (ZeRO)"
+
 
 def count_collectives(hlo: str) -> dict[str, int]:
     return {
@@ -79,7 +83,9 @@ def train_batch():
     return mel, text, lens
 
 
-def run_training(n: int, devices, seq_par: int = 1) -> tuple[list[float], dict[str, int]]:
+def run_training(
+    n: int, devices, seq_par: int = 1, fsdp: bool = False
+) -> tuple[list[float], dict[str, int]]:
     model_par = 2 if n >= 2 else 1
     mesh = create_mesh(
         data=n // (model_par * seq_par), model=model_par, seq=seq_par, devices=devices[:n]
@@ -87,9 +93,9 @@ def run_training(n: int, devices, seq_par: int = 1) -> tuple[list[float], dict[s
 
     params = init_dit(jax.random.key(0), CFG)
     optimizer = make_optimizer(learning_rate=1e-4, total_steps=100)
-    state = shard_state(init_train_state(params, optimizer), mesh)
+    state = shard_state(init_train_state(params, optimizer), mesh, fsdp=fsdp)
 
-    step = shard_train_step(make_train_step(CFG, CFM_CFG, optimizer), mesh, state)
+    step = shard_train_step(make_train_step(CFG, CFM_CFG, optimizer), mesh, state, fsdp=fsdp)
 
     mel, text, lens = train_batch()
     dsh, ssh = batch_sharding(mesh), sequence_sharding(mesh)
@@ -217,6 +223,21 @@ def main() -> None:
         assert dl < 5e-4, f"SP training diverged from single-device ({dl})"
         print(lines[-1])
 
+    # FSDP/ZeRO row: 8 devices as DP4 x TP2 with params + Adam moments
+    # sharded over "data" (parallel/mesh._with_fsdp) — same math, 1/4 the
+    # per-device state; GSPMD adds the weight all-gathers / grad
+    # reduce-scatters
+    if 8 in ns and base_losses is not None:
+        losses, train_coll = run_training(8, devices, fsdp=True)
+        dl = max(abs(a - b) for a, b in zip(losses, base_losses))
+        loss_str = ", ".join(f"{v:.4f}" for v in losses)
+        lines.append(
+            f"| 8 (FSDP/ZeRO) | 4×2 dp,tp + state over dp | {loss_str} | {dl:.2e} | — "
+            f"| {fmt_collectives(train_coll)} | (training only) |"
+        )
+        assert dl < 5e-4, f"FSDP training diverged from single-device ({dl})"
+        print(lines[-1])
+
     lines += [
         "",
         "Training losses and sampled mels agree with the single-device run to "
@@ -224,7 +245,8 @@ def main() -> None:
         "inserts the expected collectives (gradient all-reduce over the data "
         "axis; all-gather/reduce-scatter pairs for the Megatron-style TP "
         "attention/FF shardings; halo exchanges / attention gathers for the "
-        "sequence-parallel frame sharding).",
+        "sequence-parallel frame sharding; per-layer weight all-gathers and "
+        "gradient reduce-scatter-equivalents for the FSDP state placement).",
     ]
     # pipeline-parallel rows: the depth axis sharded over "stage"
     # (parallel/pipeline.py), alone and composed with DP
@@ -270,9 +292,23 @@ def main() -> None:
         "asserts identical PCM (±1 LSB of 16-bit quantization noise), and",
         "`::test_dp_tp_mesh_sample_matches_single_device` covers a 4×2 DP×TP mesh",
         "with an odd batch (exercising the DP padding path) and per-item durations.",
+        "Both `sample` branches shard: the fused single-jit path and the segmented",
+        "`cfg_interval` path (same DP padding + placement,",
+        "`tests/test_cfg_interval.py::test_cfg_interval_composes_with_mesh`).",
+        "Deserialized AOT artifacts (docs/SERVING.md) compose with the mesh too —",
+        "`.call` re-traces into the current runtime, so DP-sharded inputs partition",
+        "the artifact's computation (`tests/test_export.py::test_artifact_composes_with_mesh_dp`).",
     ]
     report = "\n".join(lines) + "\n"
     if args.out:
+        # hand-maintained sections (grad-accum/FSDP guide, multi-host) live
+        # below the generated evidence in the existing doc; preserve them
+        if os.path.exists(args.out):
+            with open(args.out) as f:
+                old = f.read()
+            idx = old.find(_TAIL_MARKER)
+            if idx != -1:
+                report += "\n" + old[idx:]
         with open(args.out, "w") as f:
             f.write(report)
         print(f"wrote {args.out}")

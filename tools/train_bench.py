@@ -7,7 +7,11 @@ fixed [batch, frames] shape, per-step host sync included (device_sync;
 `block_until_ready` is a no-op on the axon tunnel).
 
 Usage: python tools/train_bench.py [--config small|base] [--dtype bfloat16]
-       [--remat] [--batch 4] [--frames 1024] [--steps 20]
+       [--remat] [--batch 4] [--frames 1024] [--steps 20] [--grad-accum k]
+
+--grad-accum k keeps the EFFECTIVE batch fixed at --batch (microbatches of
+batch/k scanned inside the step), so ms_per_step directly A/Bs the
+accumulation overhead against the plain step at equal work.
 """
 
 from __future__ import annotations
@@ -47,7 +51,11 @@ def main() -> None:
     ap.add_argument("--no-flash", action="store_true", help="force jnp attention fallback")
     ap.add_argument("--from-audio", action="store_true",
                     help="raw-audio step: mel front-end inside the jitted step")
+    ap.add_argument("--grad-accum", type=int, default=1,
+                    help="accumulate over k microbatches of batch/k (effective batch unchanged)")
     args = ap.parse_args()
+    if args.grad_accum > 1 and args.batch % args.grad_accum:
+        ap.error(f"--batch {args.batch} not divisible by --grad-accum {args.grad_accum}")
 
     if args.no_tapsum:
         import f5_tts_tpu.utils.modules as _modules
@@ -64,7 +72,10 @@ def main() -> None:
     params = init_dit(jax.random.key(0), cfg)
     state = init_train_state(params, optimizer)
     builder = make_train_step_from_audio if args.from_audio else make_train_step
-    step = jax.jit(builder(cfg, cfm_cfg, optimizer), donate_argnums=(0,))
+    step = jax.jit(
+        builder(cfg, cfm_cfg, optimizer, grad_accum=args.grad_accum),
+        donate_argnums=(0,),
+    )
 
     rng = np.random.default_rng(0)
     if args.from_audio:
@@ -75,6 +86,11 @@ def main() -> None:
         mel = jnp.asarray(rng.standard_normal((args.batch, args.frames, cfg.mel_dim)), jnp.float32)
     text = jnp.asarray(rng.integers(0, cfg.text_num_embeds, (args.batch, 64)), jnp.int32)
     lens = jnp.full((args.batch,), args.frames, jnp.int32)
+    if args.grad_accum > 1:
+        k, micro = args.grad_accum, args.batch // args.grad_accum
+        mel = mel.reshape(k, micro, *mel.shape[1:])
+        text = text.reshape(k, micro, *text.shape[1:])
+        lens = lens.reshape(k, micro)
 
     # compile + first step
     t0 = time.perf_counter()
@@ -97,6 +113,7 @@ def main() -> None:
                 "remat": args.remat,
                 "from_audio": args.from_audio,
                 "batch": args.batch,
+                "grad_accum": args.grad_accum,
                 "frames": args.frames,
                 "ms_per_step": round(dt * 1e3, 1),
                 "audio_s_per_s": round(audio_s_per_step / dt, 1),
