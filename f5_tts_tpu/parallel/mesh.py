@@ -19,6 +19,7 @@ right by one.
 
 from __future__ import annotations
 
+import re
 from typing import Any
 
 import jax
@@ -102,25 +103,38 @@ def _spec_for(path: str, leaf) -> P:
     return P()  # everything else replicated
 
 
-def _with_fsdp(spec: P, leaf, data_size: int) -> P:
+# Scan-stacked leaves live under a dict-valued "blocks" subtree (DiT /
+# duration backbones): the component AFTER "blocks" is a field name. The
+# text embedding's ConvNeXt stack is a plain Python LIST named "blocks"
+# (not stacked — it is unrolled, not scanned), so there the next component
+# is a list index. The lookahead distinguishes the two; prefix-agnostic so
+# optimizer-moment paths that mirror the param tree match as well.
+_STACKED_RE = re.compile(r"(^|/)blocks/(?!\d+(/|$))")
+
+
+def _with_fsdp(spec: P, path: str, leaf, data_size: int) -> P:
     """Upgrade a TP spec with fully-sharded-data-parallel placement: shard the
     largest still-unsharded weight dim over "data" (ZeRO — params AND the
     optimizer moments that mirror them live 1/data-th per device; GSPMD
     all-gathers each layer's weights at its use site and reduce-scatters its
     gradients, riding ICI).
 
-    Never shards the leading depth axis of scan-stacked leaves (ndim >= 3):
+    Never shards the leading depth axis of scan-stacked leaves (any leaf
+    under the stacked "blocks" subtree, including 2D stacked biases):
     `lax.scan` dynamic-slices that axis every layer, and slicing a sharded
     axis would all-gather the whole stack per iteration instead of one
     layer's worth. 1D leaves (biases, norms) stay replicated — they are
     noise next to the matrices and uneven splits aren't worth the layout
-    churn. Dims not divisible by the data-axis size stay unsharded."""
+    churn; a stacked bias [depth, dim] is 1D per layer and follows the same
+    rule. Dims not divisible by the data-axis size stay unsharded."""
     shape = np.shape(leaf)
     ndim = len(shape)
-    if ndim < 2 or data_size <= 1:
+    if data_size <= 1:
+        return spec
+    start = 1 if _STACKED_RE.search(path) else 0
+    if ndim - start < 2:  # per-layer vectors/scalars: replicated
         return spec
     entries = list(spec) + [None] * (ndim - len(spec))
-    start = 1 if ndim >= 3 else 0
     cands = [
         i
         for i in range(start, ndim)
@@ -134,9 +148,10 @@ def _with_fsdp(spec: P, leaf, data_size: int) -> P:
 
 def _tree_specs(tree, fsdp_data_size: int | None):
     def spec(path, leaf):
-        s = _spec_for(_path_str(path), leaf)
+        p = _path_str(path)
+        s = _spec_for(p, leaf)
         if fsdp_data_size is not None:
-            s = _with_fsdp(s, leaf, fsdp_data_size)
+            s = _with_fsdp(s, p, leaf, fsdp_data_size)
         return s
 
     return jax.tree_util.tree_map_with_path(spec, tree)

@@ -21,7 +21,12 @@ import optax
 
 from f5_tts_tpu.models.convert import convert_duration_state, export_duration_state
 from f5_tts_tpu.models.duration import DurationPredictor, duration_forward
-from f5_tts_tpu.training.trainer import _build_step, init_train_state, make_optimizer
+from f5_tts_tpu.training.trainer import (
+    _build_step,
+    init_train_state,
+    make_optimizer,
+    split_microbatches,
+)
 
 
 def make_duration_train_step(
@@ -220,17 +225,11 @@ class DurationTrainer:
                     text = text[:, :, 0] if text.shape[-1] == 1 else text[:, 0]
                 text = jnp.asarray(text, dtype=jnp.int32)
 
-                if grad_accum > 1:
-                    b = mel_spec.shape[0]
-                    if b % grad_accum:
-                        raise ValueError(
-                            f"batch size {b} is not divisible by "
-                            f"grad_accum={grad_accum}"
-                        )
-                    micro = b // grad_accum
-                    mel_spec = mel_spec.reshape(grad_accum, micro, *mel_spec.shape[1:])
-                    text = text.reshape(grad_accum, micro, *text.shape[1:])
-                    mel_lens = mel_lens.reshape(grad_accum, micro)
+                mel_spec, text, mel_lens = split_microbatches(
+                    grad_accum, mel_spec, text, mel_lens,
+                    data_size=(self.mesh.shape.get("data")
+                               if self.mesh is not None else None),
+                )
 
                 key = jax.random.fold_in(root_key, global_step)
                 self.state, loss = train_step(self.state, mel_spec, text, mel_lens, key)

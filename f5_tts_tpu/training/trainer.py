@@ -216,6 +216,32 @@ def make_train_step_from_audio(
     return _build_step(loss_fn, optimizer, ema_decay, grad_accum)
 
 
+def split_microbatches(grad_accum: int, *arrays, data_size: int | None = None):
+    """Reshape per-batch arrays [b, ...] into microbatch form
+    [grad_accum, b // grad_accum, ...] for an accumulated step (the leading
+    axis is scanned serially inside the jitted step — see _build_step).
+    Shared by both trainers so the divisibility contract lives in one place.
+    Arrays pass through unchanged when grad_accum == 1.
+
+    `data_size` (the mesh's data-axis size, when training under a mesh)
+    validates DP divisibility up front: the microbatch must split evenly
+    across the data axis, and the raw GSPMD error for that is cryptic."""
+    b = arrays[0].shape[0]
+    if b % grad_accum:
+        raise ValueError(
+            f"batch size {b} is not divisible by grad_accum={grad_accum}"
+        )
+    micro = b // grad_accum
+    if data_size and micro % data_size:
+        raise ValueError(
+            f"microbatch size {micro} (batch {b} / grad_accum {grad_accum}) "
+            f"is not divisible by the mesh's data-axis size {data_size}"
+        )
+    if grad_accum <= 1:
+        return arrays
+    return tuple(a.reshape(grad_accum, micro, *a.shape[1:]) for a in arrays)
+
+
 class F5TTSTrainer:
     """Training driver (reference API: trainer.py:52-295)."""
 
@@ -522,17 +548,11 @@ class F5TTSTrainer:
                     text = np.pad(text, ((0, 0), (0, seq_len - text.shape[-1])), constant_values=-1)
                 text = jnp.asarray(text[:, :seq_len], dtype=jnp.int32)
 
-                if grad_accum > 1:
-                    b = inp.shape[0]
-                    if b % grad_accum:
-                        raise ValueError(
-                            f"batch size {b} is not divisible by "
-                            f"grad_accum={grad_accum}"
-                        )
-                    micro = b // grad_accum
-                    inp = inp.reshape(grad_accum, micro, *inp.shape[1:])
-                    text = text.reshape(grad_accum, micro, *text.shape[1:])
-                    mel_lens = mel_lens.reshape(grad_accum, micro)
+                inp, text, mel_lens = split_microbatches(
+                    grad_accum, inp, text, mel_lens,
+                    data_size=(self.mesh.shape.get("data")
+                               if self.mesh is not None else None),
+                )
 
                 key = jax.random.fold_in(root_key, global_step)
                 self.state, loss = train_step(self.state, inp, text, mel_lens, key)

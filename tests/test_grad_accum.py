@@ -184,6 +184,41 @@ def test_fsdp_sharded_matches_unsharded():
         assert len(leaf) == 0 or leaf[0] is None
 
 
+def test_fsdp_specs_never_shard_stacked_depth_axis():
+    """The never-shard-depth invariant at a REALISTIC shape: base config has
+    depth=22 and common data axes (2, 11) divide it, so a [depth, dim] stacked
+    bias whose dim is already taken by "model" (TP) must stay replicated on
+    depth — not fall through to P("data", "model") (parallel/mesh._with_fsdp).
+    The text embedding's ConvNeXt list named "blocks" is NOT scan-stacked and
+    must still be eligible for FSDP."""
+    from f5_tts_tpu.parallel.mesh import param_specs
+
+    cfg = DiTConfig(
+        dim=64, depth=4, heads=2, dim_head=32, ff_mult=2, mel_dim=100,
+        text_num_embeds=256, text_dim=32, conv_layers=1,
+        use_flash_attention=False,
+    )
+    params = init_dit(jax.random.key(0), cfg)
+    for data in (2, 4):  # both divide depth=4 — the masked failure mode
+        specs = param_specs(params, fsdp_data_size=data)
+        for path, spec in jax.tree_util.tree_flatten_with_path(
+            specs["blocks"], is_leaf=lambda s: isinstance(s, jax.sharding.PartitionSpec)
+        )[0]:
+            assert len(spec) == 0 or spec[0] is None, (
+                f"blocks{jax.tree_util.keystr(path)} shards its scan-stacked "
+                f"depth axis: {spec}"
+            )
+        # non-stacked matrices still pick up a "data" dim (ZeRO is active)
+        assert "data" in tuple(specs["proj_out"]["kernel"])
+        # text_embed's LIST "blocks" is not treated as stacked: its pointwise
+        # conv kernels [in, out] (in=32, out=64) shard over data where divisible
+        te = jax.tree.leaves(
+            jax.tree.map(tuple, specs["text_embed"]["blocks"]),
+            is_leaf=lambda s: isinstance(s, tuple),
+        )
+        assert any("data" in s for s in te)
+
+
 def test_trainer_grad_accum_loop(tmp_path):
     """F5TTSTrainer.train(grad_accum=2) reshapes each yielded batch into
     microbatches and counts UPDATES (one per yielded batch)."""

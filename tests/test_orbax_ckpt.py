@@ -61,6 +61,59 @@ def test_trainer_orbax_latest_resume(tmp_path):
     assert not np.allclose(k2, kfresh)
 
 
+def test_sharded_state_roundtrip_and_elastic_resharding(tmp_path):
+    """FSDP/mesh-sharded train state must round-trip through orbax WITHOUT
+    losing its placement, and checkpoints must reshard across layouts —
+    save sharded → restore replicated and save replicated → restore sharded
+    (elastic resume: change the mesh/chip count between runs). The restore
+    target's shardings are authoritative (TrainCheckpointManager.restore)."""
+    from f5_tts_tpu.parallel.mesh import create_mesh, shard_state
+
+    opt = make_optimizer(learning_rate=1e-3, num_warmup_steps=1, total_steps=10)
+    state = init_train_state(init_dit(jax.random.key(0), TINY), opt)
+    reference = jax.tree.map(np.asarray, state)
+
+    mesh = create_mesh(data=4, model=2)
+    sharded = shard_state(state, mesh, fsdp=True)
+    # precondition: ZeRO actually sharded something ([64, 100] proj_out)
+    assert "data" in sharded["params"]["proj_out"]["kernel"].sharding.spec
+
+    mgr = TrainCheckpointManager(tmp_path / "ckpt", async_save=False)
+    mgr.save(1, sharded)
+    mgr.wait()
+
+    # (a) sharded → sharded: placement preserved, values exact
+    fresh = shard_state(
+        init_train_state(init_dit(jax.random.key(9), TINY), opt), mesh, fsdp=True
+    )
+    restored = mgr.restore(1, fresh)
+    for (path, leaf), want in zip(
+        jax.tree_util.tree_flatten_with_path(restored)[0],
+        jax.tree.leaves(fresh),
+    ):
+        assert leaf.sharding == want.sharding, (
+            f"{jax.tree_util.keystr(path)} lost its sharding on restore: "
+            f"{leaf.sharding} != {want.sharding}"
+        )
+    for a, b in zip(jax.tree.leaves(restored), jax.tree.leaves(reference)):
+        np.testing.assert_array_equal(np.asarray(a), b)
+
+    # (b) sharded → replicated (resume on fewer chips)
+    restored_rep = mgr.restore(1, init_train_state(init_dit(jax.random.key(9), TINY), opt))
+    for a, b in zip(jax.tree.leaves(restored_rep), jax.tree.leaves(reference)):
+        np.testing.assert_array_equal(np.asarray(a), b)
+
+    # (c) replicated → sharded (scale out from a single-chip run)
+    mgr.save(2, state)
+    mgr.wait()
+    restored_sh = mgr.restore(2, fresh)
+    k = restored_sh["params"]["proj_out"]["kernel"]
+    assert "data" in k.sharding.spec, f"reshard-on-restore missing: {k.sharding}"
+    for a, b in zip(jax.tree.leaves(restored_sh), jax.tree.leaves(reference)):
+        np.testing.assert_array_equal(np.asarray(a), b)
+    mgr.close()
+
+
 def test_latest_with_no_checkpoints(tmp_path):
     model = F5TTS.init(jax.random.key(0), TINY, cfm_cfg=CFMConfig())
     trainer = F5TTSTrainer(model, num_warmup_steps=1, results_dir=tmp_path)

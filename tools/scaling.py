@@ -307,8 +307,15 @@ def main() -> None:
             with open(args.out) as f:
                 old = f.read()
             idx = old.find(_TAIL_MARKER)
-            if idx != -1:
-                report += "\n" + old[idx:]
+            if idx == -1:
+                raise SystemExit(
+                    f"refusing to overwrite {args.out}: tail marker "
+                    f"{_TAIL_MARKER!r} not found — the hand-maintained "
+                    "sections below it would be silently deleted. Update "
+                    "_TAIL_MARKER to match the doc's first hand-written "
+                    "heading, or pass a fresh --out path."
+                )
+            report += "\n" + old[idx:]
         with open(args.out, "w") as f:
             f.write(report)
         print(f"wrote {args.out}")
