@@ -190,7 +190,7 @@ class ArtifactSampler:
         return wave[start : min(end, wave.shape[0])]
 
 
-def make_handler(sampler: ArtifactSampler, default_ref):
+def make_handler(sampler: ArtifactSampler, default_ref, allow_resample=False):
     from f5_tts_tpu.serve import (
         BadRequest,
         JsonHTTPHandler,
@@ -235,6 +235,7 @@ def make_handler(sampler: ArtifactSampler, default_ref):
                 ref_audio, ref_text = resolve_ref_payload(
                     payload, default_ref, acfg.sample_rate,
                     max_ref_samples=max_ref_samples,
+                    allow_resample=allow_resample,
                 )
             except BadRequest as e:
                 return self._json_error(400, str(e))
@@ -271,11 +272,32 @@ def serve_artifacts(
     *,
     vocab_path: str | None = None,
     default_ref=None,
+    default_ref_sr: int | None = None,
     host: str = "0.0.0.0",
     port: int = 8931,
+    allow_resample: bool = False,
 ) -> ThreadingHTTPServer:
     sampler = ArtifactSampler(artifact_paths, vocab_path)
-    httpd = ThreadingHTTPServer((host, port), make_handler(sampler, default_ref))
+    if default_ref is not None and default_ref_sr is not None:
+        # the artifact header records the model's true sample rate; a default
+        # reference at another rate would silently condition on wrong-speed
+        # mel frames (the exact bug class the header's audio constants exist
+        # to prevent)
+        model_sr = sampler.audio_cfg.sample_rate
+        if default_ref_sr != model_sr:
+            if not allow_resample:
+                raise ValueError(
+                    f"default reference is {default_ref_sr} Hz but the "
+                    f"artifact's model expects {model_sr} Hz; resample it or "
+                    "pass --resample-ref"
+                )
+            from f5_tts_tpu.audio.resample import resample
+
+            audio, text = default_ref
+            default_ref = (resample(audio, default_ref_sr, model_sr), text)
+    httpd = ThreadingHTTPServer(
+        (host, port), make_handler(sampler, default_ref, allow_resample)
+    )
     httpd.sampler = sampler
     print(
         f"artifact server on {host}:{port} — buckets "
@@ -299,20 +321,25 @@ def main(argv=None):
     ap.add_argument("--port", type=int, default=8931)
     ap.add_argument("--warmup", action="store_true",
                     help="compile every bucket's program before accepting traffic")
+    ap.add_argument("--resample-ref", action="store_true", default=False,
+                    help="resample off-rate reference audio (the default --ref and per-request ref_audio_b64) to the model's rate instead of rejecting it")
     args = ap.parse_args(argv)
 
     default_ref = None
+    default_ref_sr = None
     if args.ref:
         from f5_tts_tpu.audio.io import read_wav
 
-        audio, sr = read_wav(args.ref)
+        audio, default_ref_sr = read_wav(args.ref)
         if args.ref_text is None:
             ap.error("--ref needs --ref-text")
-        default_ref = (audio if audio.ndim == 1 else audio.mean(axis=-1), args.ref_text)
+        audio = (audio if audio.ndim == 1 else audio.mean(axis=-1)).astype("float32")
+        default_ref = (audio, args.ref_text)
 
     httpd = serve_artifacts(
         args.artifact, vocab_path=args.vocab, default_ref=default_ref,
-        host=args.host, port=args.port,
+        default_ref_sr=default_ref_sr,
+        host=args.host, port=args.port, allow_resample=args.resample_ref,
     )
     if args.warmup:
         httpd.sampler.warmup()

@@ -188,25 +188,35 @@ def _load_ref_audio(
     ref_audio_path: Optional[str],
     ref_audio_text: Optional[str],
     sample_rate: int = SAMPLE_RATE,
+    resample_ref: bool = False,
 ):
     if ref_audio_path is None:
         wav_path = resources.files("f5_tts_tpu").joinpath("assets/test_en_1_ref_short.wav")
         with resources.as_file(wav_path) as p:
             audio, sr = read_wav(p)
-        if sr != sample_rate:
-            raise ValueError(
-                f"the bundled reference clip is {sr} Hz but the model expects "
-                f"{sample_rate} Hz; pass --ref-audio matching the model's sample rate"
-            )
         ref_audio_text = ref_audio_text or DEFAULT_REF_TEXT
     else:
         audio, sr = read_wav(ref_audio_path)
-        if sr != sample_rate:
-            raise ValueError(
-                f"Reference audio must have a sample rate of {sample_rate} Hz"
-            )
     if audio.ndim > 1:
         audio = audio.mean(axis=-1)
+    if sr != sample_rate:
+        # parity default: the reference refuses non-matching prompts outright
+        # (reference: generate.py:147-148); --resample-ref opts into a host
+        # resample instead (audio/resample.py)
+        if not resample_ref:
+            which = (
+                f"the bundled reference clip is {sr} Hz but the model expects "
+                f"{sample_rate} Hz; pass --ref-audio matching the model's "
+                "sample rate or use --resample-ref"
+                if ref_audio_path is None
+                else f"Reference audio must have a sample rate of {sample_rate} Hz "
+                "(or pass --resample-ref)"
+            )
+            raise ValueError(which)
+        from f5_tts_tpu.audio.resample import resample
+
+        print(f"Resampling reference audio {sr} Hz -> {sample_rate} Hz")
+        audio = resample(audio.astype(np.float32), sr, sample_rate)
     return audio.astype(np.float32), ref_audio_text
 
 
@@ -230,6 +240,7 @@ def generate(
     play: Optional[bool] = None,
     cfg_interval: Optional[tuple] = None,
     mesh=None,
+    resample_ref: bool = False,
 ) -> np.ndarray:
     """End-to-end synthesis (reference: generate.py:113-244). Returns the
     generated waveform (reference audio trimmed off). Pass `model` to reuse a
@@ -270,7 +281,9 @@ def generate(
         except (ImportError, OSError) as e:
             print(f"live playback unavailable ({e}); synthesizing without it")
 
-    audio, ref_audio_text = _load_ref_audio(ref_audio_path, ref_audio_text, sample_rate=sr)
+    audio, ref_audio_text = _load_ref_audio(
+        ref_audio_path, ref_audio_text, sample_rate=sr, resample_ref=resample_ref
+    )
     ref_audio_duration = audio.shape[0] / sr
     print(f"Got reference audio with duration: {ref_audio_duration:.2f} seconds")
 
@@ -440,6 +453,8 @@ def build_parser() -> argparse.ArgumentParser:
                         help="Shard batched sampling over N chips (data parallel)")
     parser.add_argument("--mesh-model", type=int, default=1,
                         help="Tensor-parallel ways over attention heads / FF hidden")
+    parser.add_argument("--resample-ref", action="store_true", default=False,
+                        help="Resample reference audio to the model's rate instead of rejecting it (the reference implementation requires 24 kHz input)")
     return parser
 
 
@@ -480,6 +495,7 @@ def main(argv: list[str] | None = None):
         int8_compute=args.w8a8,
         cfg_interval=tuple(float(x) for x in args.cfg_interval.split(",")) if args.cfg_interval else None,
         mesh=mesh,
+        resample_ref=args.resample_ref,
     )
 
 

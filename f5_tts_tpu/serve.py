@@ -78,10 +78,13 @@ class BadRequest(ValueError):
 
 
 def resolve_ref_payload(payload, default_ref, sample_rate: int,
-                        max_ref_samples: int | None = None):
+                        max_ref_samples: int | None = None,
+                        allow_resample: bool = False):
     """Resolve a request's reference audio: decode `ref_audio_b64` (WAV) or
     fall back to `default_ref`, validate rate/length/transcript, downmix to
     mono, and RMS-normalize quiet references (reference: generate.py:147-156).
+    With `allow_resample` (server flag --resample-ref), off-rate references
+    are resampled on the host instead of rejected.
     Returns (ref_audio float32 [n], ref_text); raises BadRequest on any
     client-fixable problem. Shared by serve.py and artifact_serve.py so the
     two HTTP surfaces cannot drift."""
@@ -99,7 +102,17 @@ def resolve_ref_payload(payload, default_ref, sample_rate: int,
         except Exception as e:
             raise BadRequest(f"bad ref audio: {e}") from None
         if sr != sample_rate:
-            raise BadRequest(f"reference audio must be {sample_rate} Hz")
+            if not allow_resample:
+                raise BadRequest(
+                    f"reference audio must be {sample_rate} Hz "
+                    "(or start the server with --resample-ref)"
+                )
+            if ref_audio.ndim > 1:
+                ref_audio = ref_audio.mean(axis=-1)
+            from f5_tts_tpu.audio.resample import resample
+
+            ref_audio = resample(ref_audio.astype(np.float32), sr, sample_rate)
+        # length cap applies at the MODEL rate (post-resample)
         if max_ref_samples is not None and ref_audio.shape[0] > max_ref_samples:
             raise BadRequest(
                 f"reference audio is {ref_audio.shape[0] / sample_rate:.1f}s; "
@@ -574,7 +587,8 @@ def _wav_stream_header(sample_rate: int) -> bytes:
     )
 
 
-def make_handler(batcher: MicroBatcher, default_ref: tuple[np.ndarray, str]):
+def make_handler(batcher: MicroBatcher, default_ref: tuple[np.ndarray, str],
+                 allow_resample: bool = False):
     # audio-domain arithmetic (sample-rate checks, WAV headers, seconds ->
     # frames) follows the SERVED MODEL's AudioConfig, not module constants
     acfg = batcher.model.audio_cfg
@@ -601,7 +615,8 @@ def make_handler(batcher: MicroBatcher, default_ref: tuple[np.ndarray, str]):
             try:
                 return resolve_ref_payload(payload, default_ref,
                                            acfg.sample_rate,
-                                           max_ref_samples=max_ref_samples)
+                                           max_ref_samples=max_ref_samples,
+                                           allow_resample=allow_resample)
             except BadRequest as e:
                 self._json_error(400, str(e))
                 return None
@@ -829,12 +844,14 @@ def warmup(model, durations_sec: list[float], steps: int = 8, method: str = "rk4
 def serve(model, host: str = "0.0.0.0", port: int = 8930,
           max_batch: int = 8, max_wait_ms: float = 50.0,
           max_queue: int = 64,
-          request_timeout_s: float = 300.0) -> ThreadingHTTPServer:
+          request_timeout_s: float = 300.0,
+          allow_resample: bool = False) -> ThreadingHTTPServer:
     """Start the batching server (returns the running HTTPServer; call
     .shutdown() to stop)."""
     try:
         default_ref = _load_ref_audio(None, DEFAULT_REF_TEXT,
-                                      sample_rate=model.audio_cfg.sample_rate)
+                                      sample_rate=model.audio_cfg.sample_rate,
+                                      resample_ref=allow_resample)
     except ValueError as e:
         # non-24kHz model: the bundled clip can't serve as the default
         print(f"warning: {e}; requests must supply ref_audio_b64")
@@ -843,7 +860,10 @@ def serve(model, host: str = "0.0.0.0", port: int = 8930,
                            max_queue=max_queue,
                            request_timeout_s=request_timeout_s)
     batcher.start()
-    httpd = ThreadingHTTPServer((host, port), make_handler(batcher, default_ref))
+    httpd = ThreadingHTTPServer(
+        (host, port),
+        make_handler(batcher, default_ref, allow_resample=allow_resample),
+    )
     httpd.batcher = batcher  # keep a handle for shutdown
     thread = threading.Thread(target=httpd.serve_forever, daemon=True)
     thread.start()
@@ -874,6 +894,8 @@ def main(argv=None):
     ap.add_argument("--warmup-steps", type=int, default=8)
     ap.add_argument("--warmup-batches", type=str, default="1",
                     help="comma-separated batch sizes to pre-compile, e.g. '1,4,8'")
+    ap.add_argument("--resample-ref", action="store_true", default=False,
+                    help="resample off-rate reference audio to the model's rate instead of rejecting the request")
     args = ap.parse_args(argv)
     if args.w8a8 and args.q:
         ap.error("--q and --w8a8 cannot be combined: int8 compute quantizes "
@@ -892,7 +914,8 @@ def main(argv=None):
         model.use_mesh(create_mesh(data=args.mesh_data, model=args.mesh_model))
         print(f"serving over a {args.mesh_data}x{args.mesh_model} device mesh")
     httpd = serve(model, args.host, args.port, args.max_batch, args.max_wait_ms,
-                  max_queue=args.max_queue, request_timeout_s=args.request_timeout)
+                  max_queue=args.max_queue, request_timeout_s=args.request_timeout,
+                  allow_resample=args.resample_ref)
     if args.warmup:
         warmup(model, [float(s) for s in args.warmup.split(",")],
                steps=args.warmup_steps,

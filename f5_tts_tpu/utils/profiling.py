@@ -27,7 +27,14 @@ def enable_compilation_cache(cache_dir: str | None = None, force: bool = False) 
 
     No-op on the axon tunnel backend unless forced: cache round-trips there
     measured slower than recompilation (warm bench run 9m30s vs ~6m cold).
+    Also a no-op when F5_TTS_COMPILE_CACHE=off — the test suite sets this
+    (tests/conftest.py): tiny test models gain nothing from a persistent
+    cache, and jax's threaded cache-write path has segfaulted under the
+    suite's serve tests (compile in a batcher thread while HTTP threads
+    run) — a kill switch beats a flaky suite.
     """
+    if os.environ.get("F5_TTS_COMPILE_CACHE", "").lower() == "off":
+        return
     if not force and jax.devices()[0].platform.lower() == "axon":
         return
     cache_dir = cache_dir or DEFAULT_CACHE_DIR

@@ -4,6 +4,11 @@ anywhere (the driver validates the real-TPU path separately)."""
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# never write a persistent compile cache from tests: tiny test models gain
+# nothing, and jax's threaded cache-write path (zstandard serialization) has
+# segfaulted when a serve test compiles in its batcher thread after a CLI
+# test enabled the cache process-globally (utils/profiling honors "off")
+os.environ["F5_TTS_COMPILE_CACHE"] = "off"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()

@@ -76,6 +76,19 @@ def _post(url, payload, timeout=120):
     return urllib.request.urlopen(req, timeout=timeout)
 
 
+def test_default_ref_rate_validated(artifacts, ref):
+    """A default --ref at the wrong rate must fail at STARTUP (previously it
+    silently conditioned on wrong-speed mel), or resample under
+    --resample-ref."""
+    with pytest.raises(ValueError, match="16000 Hz"):
+        serve_artifacts(artifacts, default_ref=(ref, "x"), default_ref_sr=16_000,
+                        host="127.0.0.1", port=0)
+    httpd = serve_artifacts(artifacts, default_ref=(ref, "x"),
+                            default_ref_sr=16_000, host="127.0.0.1", port=0,
+                            allow_resample=True)
+    httpd.server_close()
+
+
 def test_bucket_selection(artifacts):
     s = ArtifactSampler(artifacts)
     assert [b.spec.padded_len for b in s.buckets] == [64, 128]

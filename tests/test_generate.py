@@ -122,15 +122,35 @@ def test_generate_rejects_wrong_sample_rate(tmp_path):
                  model=model, play=False)
 
 
+def test_generate_resample_ref_accepts_16k(tmp_path):
+    """--resample-ref opts into host resampling of off-rate prompts instead
+    of the parity-default rejection (audio/resample.py)."""
+    model = _tiny_model()
+    ref_path = tmp_path / "ref16k.wav"
+    tone = (0.2 * np.sin(2 * np.pi * 220 * np.arange(16_000) / 16_000)).astype(np.float32)
+    write_wav(ref_path, tone, 16_000)
+    out = tmp_path / "out.wav"
+    wave = generate("hi", duration=2.0, ref_audio_path=str(ref_path),
+                    ref_audio_text="a tone", model=model, play=False,
+                    steps=2, method="euler", seed=0, output_path=str(out),
+                    resample_ref=True)
+    # 2 s total minus the 1 s (resampled) reference ~= 1 s of continuation
+    assert abs(wave.shape[0] - 24_000) < 24_000 * 0.15
+    got, sr = read_wav(out)
+    assert sr == 24_000 and got.shape == wave.shape
+
+
 def test_cli_parser_flags():
     from f5_tts_tpu.generate import build_parser
 
     args = build_parser().parse_args(
         ["--text", "hi", "--steps", "4", "--method", "euler", "--cfg", "1.5",
-         "--sway-coef", "-0.8", "--speed", "1.2", "--seed", "3", "--q", "8"]
+         "--sway-coef", "-0.8", "--speed", "1.2", "--seed", "3", "--q", "8",
+         "--resample-ref"]
     )
     assert args.text == "hi" and args.steps == 4 and args.q == 8
     assert args.method == "euler" and args.cfg == 1.5
+    assert args.resample_ref is True
 
 
 def test_generate_does_not_mutate_caller_model(tmp_path):

@@ -69,11 +69,23 @@ def test_timer_and_sync():
     assert t.elapsed is not None and t.elapsed >= 0
 
 
-def test_compilation_cache_config(tmp_path):
+def test_compilation_cache_config(tmp_path, monkeypatch):
     from f5_tts_tpu.utils.profiling import enable_compilation_cache
 
-    enable_compilation_cache(str(tmp_path / "cache"))
-    assert (tmp_path / "cache").exists()
+    # the suite runs with F5_TTS_COMPILE_CACHE=off (conftest): jax's threaded
+    # cache-write path has segfaulted under the serve tests, so "off" must be
+    # a hard no-op
+    monkeypatch.setenv("F5_TTS_COMPILE_CACHE", "off")
+    enable_compilation_cache(str(tmp_path / "never"))
+    assert not (tmp_path / "never").exists()
+
+    monkeypatch.delenv("F5_TTS_COMPILE_CACHE")
+    try:
+        enable_compilation_cache(str(tmp_path / "cache"))
+        assert (tmp_path / "cache").exists()
+    finally:
+        # leave the persistent cache OFF for the rest of the suite
+        jax.config.update("jax_compilation_cache_dir", None)
 
 
 def test_grouped_conv_split_lowering_grads_match_xla():

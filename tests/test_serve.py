@@ -87,6 +87,31 @@ def test_custom_ref_audio(server, tmp_path):
         assert r.read()[:4] == b"RIFF"
 
 
+def test_resolve_ref_payload_resamples_off_rate_audio(tmp_path):
+    """Off-rate ref_audio_b64 is a 400 by default (parity with the CLI), but
+    allow_resample (server --resample-ref) converts it on the host; the
+    ref-length cap applies at the MODEL rate, post-resample."""
+    from f5_tts_tpu.serve import BadRequest, resolve_ref_payload
+
+    tone = (0.2 * np.sin(2 * np.pi * 220 * np.arange(16_000) / 16_000)).astype(np.float32)
+    p = tmp_path / "ref16k.wav"
+    write_wav(p, tone, 16_000)
+    payload = {"ref_audio_b64": base64.b64encode(p.read_bytes()).decode(),
+               "ref_text": "a tone"}
+
+    with pytest.raises(BadRequest, match="24000 Hz"):
+        resolve_ref_payload(payload, None, 24_000)
+
+    audio, text = resolve_ref_payload(payload, None, 24_000, allow_resample=True)
+    assert text == "a tone"
+    assert abs(audio.shape[0] - 24_000) <= 2  # 1 s at the model rate
+
+    # the cap sees the RESAMPLED length (1 s @ 24k > 0.5 s cap)
+    with pytest.raises(BadRequest, match="conditions on at most"):
+        resolve_ref_payload(payload, None, 24_000, max_ref_samples=12_000,
+                            allow_resample=True)
+
+
 def test_missing_text_rejected(server):
     with pytest.raises(urllib.error.HTTPError) as e:
         _post(server, {"duration": 2.0})

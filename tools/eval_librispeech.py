@@ -118,6 +118,14 @@ def run_eval(args) -> dict:
     from f5_tts_tpu.models.cfm import F5TTS, clamp_duration
 
     model = F5TTS.from_pretrained(args.model, quantization_bits=args.q)
+    if args.w8a8:
+        if args.q:
+            raise SystemExit("--q and --w8a8 cannot be combined (see generate.py)")
+        model.dit_cfg = model.dit_cfg.replace(int8_compute=True)
+    if args.mesh_data > 1 or args.mesh_model > 1:
+        from f5_tts_tpu.parallel.mesh import create_mesh
+
+        model.use_mesh(create_mesh(data=args.mesh_data, model=args.mesh_model))
     sr = model.audio_cfg.sample_rate
     hop = model.audio_cfg.hop_length
     fps = model.audio_cfg.frames_per_second
@@ -235,6 +243,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--q", type=int, default=None, choices=[4, 8],
                    help="quantized snapshot variant")
+    p.add_argument("--w8a8", action="store_true", default=False,
+                   help="int8-compute inference (same opt-in as generate --w8a8)")
+    p.add_argument("--mesh-data", type=int, default=1,
+                   help="shard each eval batch over N chips (data parallel)")
+    p.add_argument("--mesh-model", type=int, default=1,
+                   help="tensor-parallel ways over attention heads / FF hidden")
     p.add_argument("--limit", type=int, default=0, help="evaluate only the first N rows")
     return p
 
