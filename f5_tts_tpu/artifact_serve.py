@@ -16,9 +16,11 @@ micro-batching, duration predictor, streaming).
         --vocab SNAP/vocab.txt --ref ref.wav --ref-text "..."
 
 Requests pick the smallest bucket that fits their clamped duration, exactly
-like the live jit cache keys shapes. `duration` is client-supplied seconds
-(or the byte-length heuristic via `estimate_duration` — the trained duration
-predictor is a separate model the artifact deliberately does not carry).
+like the live jit cache keys shapes. `duration` is client-supplied seconds;
+requests that omit it resolve through the trained duration predictor when a
+`--duration-artifact` (f5-tts-tpu-export --duration) is loaded, or the
+byte-length heuristic otherwise / under `estimate_duration` — the same
+two-tier behavior as the live server (serve.py:_predict_durations).
 
 reference: no counterpart — the reference's inference needs the full MLX
 Python stack + HF checkpoint downloads at startup (cfm.py:404-520).
@@ -32,7 +34,12 @@ from http.server import ThreadingHTTPServer
 
 import numpy as np
 
-from f5_tts_tpu.export import SamplerSpec, load_sampler, prep_inputs
+from f5_tts_tpu.export import (
+    load_duration,
+    load_sampler,
+    prep_duration_inputs,
+    prep_inputs,
+)
 from f5_tts_tpu.generate import estimated_duration
 from f5_tts_tpu.utils.tokenizer import (
     convert_char_to_pinyin,
@@ -45,7 +52,7 @@ from f5_tts_tpu.utils.tokenizer import (
 @dataclass
 class Bucket:
     sampler: object  # Exported | BoundSampler
-    spec: SamplerSpec
+    spec: object  # SamplerSpec (sampling buckets) | DurationSpec (predictor)
     path: str
 
 
@@ -54,7 +61,8 @@ class ArtifactSampler:
     mel front-end, and a lock serializing device work (one in-flight
     computation — the same rule serve.py's batcher thread enforces)."""
 
-    def __init__(self, artifact_paths: list[str], vocab_path: str | None = None):
+    def __init__(self, artifact_paths: list[str], vocab_path: str | None = None,
+                 duration_artifact: str | None = None):
         from f5_tts_tpu.audio.mel import MelSpec
         from f5_tts_tpu.config import AudioConfig
 
@@ -87,6 +95,28 @@ class ArtifactSampler:
         self._mel = MelSpec.from_config(self.audio_cfg)
         self.vocab = load_vocab(vocab_path) if vocab_path else None
         self._device_lock = threading.Lock()
+
+        # optional trained duration predictor (export.py:export_duration) —
+        # without it, requests that omit `duration` fall back to the
+        # byte-length heuristic (serve.py has the same two-tier behavior)
+        self.duration: Bucket | None = None
+        if duration_artifact:
+            dsampler, dspec = load_duration(duration_artifact)
+            if dspec.batch != 1:
+                raise ValueError(
+                    f"{duration_artifact}: duration artifact batch={dspec.batch}; "
+                    "this server predicts one request at a time — export with "
+                    "--batch 1"
+                )
+            if (dspec.hop_length, dspec.sample_rate, dspec.mel_dim) != (
+                s0.hop_length, s0.sample_rate, s0.mel_dim
+            ):
+                raise ValueError(
+                    f"{duration_artifact}: audio constants differ from "
+                    f"{self.buckets[0].path}; the duration artifact must come "
+                    "from the same model family"
+                )
+            self.duration = Bucket(dsampler, dspec, duration_artifact)
 
     def tokenize(self, texts: list[str]) -> np.ndarray:
         if self.vocab is not None:
@@ -127,6 +157,42 @@ class ArtifactSampler:
                 np.asarray(out[1] if isinstance(out, (tuple, list)) else out)
             print(f"warmed {b.path} (bucket {b.spec.padded_len}): "
                   f"{time.time() - t0:.1f}s")
+        if self.duration is not None:
+            t0 = time.time()
+            with self._device_lock:
+                d = self.duration.spec
+                args = prep_duration_inputs(
+                    d, np.zeros((1, 4, d.mel_dim), np.float32),
+                    np.full((1, 4), -1, np.int32))
+                np.asarray(self.duration.sampler.call(*args))
+            print(f"warmed {self.duration.path} (duration predictor): "
+                  f"{time.time() - t0:.1f}s")
+
+    def _predict_duration_frames(
+        self, ref_audio: np.ndarray, ref_text: str, text: str, speed: float
+    ) -> int:
+        """Total frames from the exported duration predictor, mirroring the
+        live path (serve.py:_predict_durations / models/cfm.predict_duration):
+        reference mel over the artifact's fixed window with `lens` marking the
+        real frames, seconds -> frames at sr // hop, divided by speed. A
+        reference longer than the window is prefix-truncated — predicting the
+        full duration from a prefix is the predictor's training task
+        (reference: duration.py:232-237)."""
+        d = self.duration.spec
+        hop = self.audio_cfg.hop_length
+        ref_frames = max(min(ref_audio.shape[0] // hop, d.padded_len), 1)
+        buf = np.zeros((1, d.padded_len * hop), np.float32)
+        n = min(ref_audio.shape[0], ref_frames * hop)
+        buf[0, :n] = ref_audio[:n]
+        text_ids = self.tokenize([ref_text + " " + text])
+        with self._device_lock:
+            cond = np.asarray(self._mel(buf), np.float32)[:, :ref_frames]
+            args = prep_duration_inputs(
+                d, cond, text_ids, lens=np.array([ref_frames], np.int32)
+            )
+            seconds = float(np.asarray(self.duration.sampler.call(*args))[0])
+        frame_rate = d.sample_rate // d.hop_length
+        return max(int(seconds * frame_rate / speed), 1)
 
     def synthesize(
         self,
@@ -138,19 +204,28 @@ class ArtifactSampler:
         speed: float = 1.0,
         sway_sampling_coef: float | None = -1.0,
         seed: int = 0,
+        estimate: bool = False,
     ) -> np.ndarray:
         """One request -> generated-region float wave (ref region trimmed),
-        mirroring serve.py's frame-quantized trimming."""
+        mirroring serve.py's frame-quantized trimming. A None duration
+        resolves through the exported duration predictor when one is loaded
+        (the byte-length heuristic otherwise, or when `estimate` forces it —
+        the same two-tier behavior as serve.py)."""
         hop = self.audio_cfg.hop_length
         if duration_frames is None:
-            duration_frames = int(
-                estimated_duration(
-                    ref_audio, ref_text, text, speed,
-                    hop_length=hop,
-                    frames_per_second=self.audio_cfg.frames_per_second,
+            if self.duration is not None and not estimate:
+                duration_frames = self._predict_duration_frames(
+                    ref_audio, ref_text, text, speed
                 )
-                * self.audio_cfg.frames_per_second
-            )
+            else:
+                duration_frames = int(
+                    estimated_duration(
+                        ref_audio, ref_text, text, speed,
+                        hop_length=hop,
+                        frames_per_second=self.audio_cfg.frames_per_second,
+                    )
+                    * self.audio_cfg.frames_per_second
+                )
         duration_frames = min(max(duration_frames, 1), self.spec.max_duration)
         text_ids = self.tokenize([ref_text + " " + text])
 
@@ -217,6 +292,10 @@ def make_handler(sampler: ArtifactSampler, default_ref, allow_resample=False):
                         for b in sampler.buckets
                     ],
                     "sample_rate": acfg.sample_rate,
+                    "duration_predictor": (
+                        None if sampler.duration is None
+                        else {"padded_len": sampler.duration.spec.padded_len}
+                    ),
                 })
             else:
                 self._json_error(404, "unknown path")
@@ -252,6 +331,7 @@ def make_handler(sampler: ArtifactSampler, default_ref, allow_resample=False):
                     speed=float(payload.get("speed", 1.0)),
                     sway_sampling_coef=payload.get("sway_sampling_coef", -1.0),
                     seed=int(payload.get("seed", 0)),
+                    estimate=bool(payload.get("estimate_duration")),
                 )
             except ValueError as e:
                 return self._json_error(400, str(e))
@@ -276,8 +356,10 @@ def serve_artifacts(
     host: str = "0.0.0.0",
     port: int = 8931,
     allow_resample: bool = False,
+    duration_artifact: str | None = None,
 ) -> ThreadingHTTPServer:
-    sampler = ArtifactSampler(artifact_paths, vocab_path)
+    sampler = ArtifactSampler(artifact_paths, vocab_path,
+                              duration_artifact=duration_artifact)
     if default_ref is not None and default_ref_sr is not None:
         # the artifact header records the model's true sample rate; a default
         # reference at another rate would silently condition on wrong-speed
@@ -315,6 +397,11 @@ def main(argv=None):
     ap.add_argument("--vocab", default=None,
                     help="vocab.txt for the pinyin/vocab tokenizer; omit for the "
                          "byte tokenizer (must match the exported model's training)")
+    ap.add_argument("--duration-artifact", default=None,
+                    help="exported duration predictor (f5-tts-tpu-export "
+                         "--duration); resolves requests that omit 'duration' "
+                         "with the trained model instead of the byte-length "
+                         "heuristic")
     ap.add_argument("--ref", default=None, help="default reference WAV")
     ap.add_argument("--ref-text", default=None)
     ap.add_argument("--host", default="0.0.0.0")
@@ -340,6 +427,7 @@ def main(argv=None):
         args.artifact, vocab_path=args.vocab, default_ref=default_ref,
         default_ref_sr=default_ref_sr,
         host=args.host, port=args.port, allow_resample=args.resample_ref,
+        duration_artifact=args.duration_artifact,
     )
     if args.warmup:
         httpd.sampler.warmup()

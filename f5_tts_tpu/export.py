@@ -177,6 +177,10 @@ _MAGIC = b"F5X1"
 # (cond, lens, duration, max_dur, text, ts, seed)
 _N_CALL_ARGS = 7
 
+# fixed device-arg signature of every exported duration predictor:
+# (cond, text, lens)
+_N_DURATION_ARGS = 3
+
 # SamplerSpec fields load_sampler fills from the program's input avals, never
 # from the header — header copies would collide as duplicate kwargs
 _DERIVED_SPEC_FIELDS = {"batch", "padded_len", "steps", "mel_dim"}
@@ -249,7 +253,7 @@ def save_sampler(
     import warnings
 
     meta = dict(extra_meta or {})
-    reserved = _DERIVED_SPEC_FIELDS | {"format", "weights"}
+    reserved = _DERIVED_SPEC_FIELDS | {"format", "weights", "kind"}
     bad = reserved & meta.keys()
     if bad:
         raise ValueError(
@@ -287,12 +291,64 @@ def save_sampler(
             weight_blobs.append(arr.tobytes())
         meta["weights"] = wmeta
 
+    _write_container(path, meta, weight_blobs, exported)
+
+
+def _write_container(path, meta: dict, weight_blobs: list, exported) -> None:
+    """Shared on-disk container: MAGIC, length-prefixed JSON header, raw
+    weight blobs (layout in the header), serialized Exported."""
+    import json
+
     header = json.dumps({"format": 1, **meta}).encode()
     with open(path, "wb") as f:
         f.write(_MAGIC + len(header).to_bytes(4, "little") + header)
         for blob in weight_blobs:
             f.write(blob)
         f.write(exported.serialize())
+
+
+def _read_container(path):
+    """Inverse of `_write_container`; also accepts raw `Exported.serialize()`
+    bytes (empty meta). Returns (meta, weight_leaves | None, exported) —
+    `format` and `weights` are consumed here, everything else (including
+    `kind`) is left in `meta` for the caller."""
+    import json
+
+    with open(path, "rb") as f:
+        blob = f.read()
+    meta = {}
+    wmeta = None
+    pos = 0
+    if blob[:4] == _MAGIC:
+        hlen = int.from_bytes(blob[4:8], "little")
+        meta = json.loads(blob[8 : 8 + hlen].decode())
+        fmt = meta.pop("format", None)
+        if fmt != 1:
+            raise ValueError(
+                f"unsupported sampler-artifact header format {fmt!r} "
+                "(this loader understands format 1)"
+            )
+        wmeta = meta.pop("weights", None)
+        pos = 8 + hlen
+
+    # offset-based reads, never blob slices: a slice would copy the whole
+    # remaining payload (weights + program), transiently doubling memory for
+    # base-scale external-weights artifacts (~650 MB)
+    weight_leaves = None
+    if wmeta:
+        weight_leaves = []
+        for entry in wmeta:
+            dt = _leaf_dtype(entry["dtype"])
+            count = int(np.prod(entry["shape"], dtype=np.int64)) if entry["shape"] else 1
+            weight_leaves.append(
+                np.frombuffer(blob, dtype=dt, count=count, offset=pos).reshape(
+                    entry["shape"]
+                )
+            )
+            pos += dt.itemsize * count
+
+    exported = jexport.deserialize(memoryview(blob)[pos:])
+    return meta, weight_leaves, exported
 
 
 @dataclass(frozen=True)
@@ -369,49 +425,22 @@ def load_sampler(path) -> tuple[jexport.Exported | BoundSampler, SamplerSpec]:
     Weights-as-args artifacts come back as a `BoundSampler` (same `.call`
     contract). Accepts both headered files (save_sampler) and raw
     `Exported.serialize()` bytes."""
-    import json
+    meta, weight_leaves, exported = _read_container(path)
+    kind = meta.pop("kind", None)
+    if kind is not None:
+        raise ValueError(
+            f"{path} is a {kind!r} artifact, not a sampling artifact "
+            "(duration-predictor artifacts load via load_duration)"
+        )
+    # ignore unknown header keys so format-1 headers may gain fields
+    # without breaking older loaders; drop program-derived fields too (a
+    # header should never carry them, but a stale one must not collide
+    # with the positional kwargs below)
+    known = {f.name for f in dataclasses.fields(SamplerSpec)} - _DERIVED_SPEC_FIELDS
+    meta = {k: v for k, v in meta.items() if k in known}
 
-    with open(path, "rb") as f:
-        blob = f.read()
-    meta = {}
-    wmeta = None
-    pos = 0
-    if blob[:4] == _MAGIC:
-        hlen = int.from_bytes(blob[4:8], "little")
-        meta = json.loads(blob[8 : 8 + hlen].decode())
-        fmt = meta.pop("format", None)
-        if fmt != 1:
-            raise ValueError(
-                f"unsupported sampler-artifact header format {fmt!r} "
-                "(this loader understands format 1)"
-            )
-        wmeta = meta.pop("weights", None)
-        # ignore unknown header keys so format-1 headers may gain fields
-        # without breaking older loaders; drop program-derived fields too (a
-        # header should never carry them, but a stale one must not collide
-        # with the positional kwargs below)
-        known = {f.name for f in dataclasses.fields(SamplerSpec)} - _DERIVED_SPEC_FIELDS
-        meta = {k: v for k, v in meta.items() if k in known}
-        pos = 8 + hlen
-
-    # offset-based reads, never blob slices: a slice would copy the whole
-    # remaining payload (weights + program), transiently doubling memory for
-    # base-scale external-weights artifacts (~650 MB)
-    weight_leaves = []
-    if wmeta:
-        for entry in wmeta:
-            dt = _leaf_dtype(entry["dtype"])
-            count = int(np.prod(entry["shape"], dtype=np.int64)) if entry["shape"] else 1
-            weight_leaves.append(
-                np.frombuffer(blob, dtype=dt, count=count, offset=pos).reshape(
-                    entry["shape"]
-                )
-            )
-            pos += dt.itemsize * count
-
-    exported = jexport.deserialize(memoryview(blob)[pos:])
     sampler: jexport.Exported | BoundSampler = exported
-    if wmeta:
+    if weight_leaves is not None:
         n_w = len(exported.in_avals) - _N_CALL_ARGS
         if n_w != len(weight_leaves):
             raise ValueError(
@@ -490,6 +519,202 @@ def prep_inputs(
     )
 
 
+# ---------------------------------------------------------------------------
+# Duration-predictor artifacts
+#
+# The live server resolves missing durations with the trained duration
+# predictor (serve.py:_predict_durations, reference semantics: cfm.py:253-262
+# + generate.py's predictor-by-default behavior); an artifact-only deployment
+# host previously had to fall back to the byte-length heuristic. These export
+# the predictor the same way the sampler is exported: one fixed
+# (batch, padded_len) window per artifact, weights embedded or stored beside
+# the program, loadable with zero model code.
+
+
+def export_duration(
+    predictor,
+    *,
+    batch: int = 1,
+    padded_len: int,
+    use_flash: bool | None = None,
+    platforms: tuple[str, ...] | None = None,
+    embed_weights: bool = True,
+) -> jexport.Exported:
+    """Serialize the duration predictor over one fixed mel window.
+
+    The exported computation has the signature
+
+        (cond f32[b, L, mel], text i32[b, L], lens i32[b]) -> seconds f32[b]
+
+    — the same padded-window contract the live serving path uses
+    (serve.py:_predict_durations feeds a bucket-rounded window with per-item
+    `lens`; models/duration.duration_forward masks frames past `lens` and
+    mean-pools over the mask). Truncating a longer reference to the window is
+    in-distribution: the predictor is trained to predict the FULL duration
+    from a random prefix (reference: duration.py:232-237).
+
+    `embed_weights=False` works exactly like `export_sampler`'s: the weight
+    pytree becomes a leading argument and `save_duration` stores it beside
+    the program."""
+    from f5_tts_tpu.models.duration import duration_forward
+
+    cfg = predictor.cfg
+    if use_flash is not None:
+        cfg = cfg.replace(use_flash_attention=use_flash)
+
+    def run(params, cond, text, lens):
+        return duration_forward(params, cfg, cond, text, lens)
+
+    args = (
+        jax.ShapeDtypeStruct((batch, padded_len, cfg.mel_dim), jnp.float32),
+        jax.ShapeDtypeStruct((batch, padded_len), jnp.int32),
+        jax.ShapeDtypeStruct((batch,), jnp.int32),
+    )
+    kwargs = {} if platforms is None else {"platforms": platforms}
+
+    if embed_weights:
+        params = predictor.params
+
+        def fn(cond, text, lens):
+            return run(params, cond, text, lens)
+
+        return jexport.export(jax.jit(fn), **kwargs)(*args)
+
+    w_avals = jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(jnp.shape(x), jnp.asarray(x).dtype),
+        predictor.params,
+    )
+
+    def fn(weights, cond, text, lens):
+        return run(weights, cond, text, lens)
+
+    return jexport.export(jax.jit(fn), **kwargs)(w_avals, *args)
+
+
+@dataclass(frozen=True)
+class DurationSpec:
+    """Host-side knowledge for a duration artifact — window shape from the
+    program's input avals, audio constants + vocab size from the header."""
+
+    batch: int
+    padded_len: int
+    mel_dim: int
+    hop_length: int = 256
+    sample_rate: int = 24_000
+    text_num_embeds: int | None = None
+
+
+_DERIVED_DURATION_FIELDS = {"batch", "padded_len", "mel_dim"}
+
+
+def save_duration(exported: jexport.Exported, path, *, predictor) -> None:
+    """Write a duration artifact (same container as `save_sampler`, header
+    `kind: "duration"`). The predictor is required: the header records its
+    audio constants (seconds -> frames conversion on the serving host) and
+    vocab size, and `embed_weights=False` exports need its weights to store
+    as the payload."""
+    meta = {
+        "kind": "duration",
+        "hop_length": predictor.audio_cfg.hop_length,
+        "sample_rate": predictor.audio_cfg.sample_rate,
+        "text_num_embeds": predictor.cfg.text_num_embeds,
+    }
+    weight_blobs: list[bytes] = []
+    n_w = len(exported.in_avals) - _N_DURATION_ARGS
+    if n_w:
+        leaves = jax.tree.leaves(predictor.params)
+        if len(leaves) != n_w or not all(
+            jnp.shape(leaf) == aval.shape and jnp.asarray(leaf).dtype == aval.dtype
+            for leaf, aval in zip(leaves, exported.in_avals[:n_w])
+        ):
+            raise ValueError(
+                "predictor weights do not match the artifact's weight inputs "
+                f"({n_w} leading avals); was the artifact exported from this "
+                "predictor?"
+            )
+        wmeta = []
+        for leaf in leaves:
+            arr = np.ascontiguousarray(np.asarray(leaf))
+            wmeta.append({"dtype": str(arr.dtype), "shape": list(arr.shape)})
+            weight_blobs.append(arr.tobytes())
+        meta["weights"] = wmeta
+    _write_container(path, meta, weight_blobs, exported)
+
+
+def load_duration(path) -> tuple[jexport.Exported | BoundSampler, DurationSpec]:
+    """Reload a duration artifact; returns (predictor, spec). Run via
+    `predictor.call(*prep_duration_inputs(spec, ...))` -> seconds f32[b].
+    Weights-as-args artifacts come back as a `BoundSampler` (the binding is
+    signature-agnostic)."""
+    meta, weight_leaves, exported = _read_container(path)
+    kind = meta.pop("kind", None)
+    if kind != "duration":
+        raise ValueError(
+            f"{path} is not a duration artifact "
+            "(sampling artifacts load via load_sampler)"
+        )
+    known = {f.name for f in dataclasses.fields(DurationSpec)} - _DERIVED_DURATION_FIELDS
+    meta = {k: v for k, v in meta.items() if k in known}
+
+    sampler: jexport.Exported | BoundSampler = exported
+    if weight_leaves is not None:
+        n_w = len(exported.in_avals) - _N_DURATION_ARGS
+        if n_w != len(weight_leaves):
+            raise ValueError(
+                f"artifact stores {len(weight_leaves)} weight leaves but the "
+                f"program expects {n_w}"
+            )
+        sampler = BoundSampler(exported, weight_leaves)
+    cond_aval = exported.in_avals[-3]
+    b, L, d = cond_aval.shape
+    return sampler, DurationSpec(batch=b, padded_len=L, mel_dim=d, **meta)
+
+
+def prep_duration_inputs(
+    spec: DurationSpec,
+    cond_mel: np.ndarray,  # [b, n, mel] reference mel (prefix-truncated to fit)
+    text_ids: np.ndarray,  # [b, nt] int ids padded with -1
+    *,
+    lens: np.ndarray | None = None,
+) -> tuple:
+    """Host-side prep for a loaded duration artifact: zero-pad the mel window
+    and the text to `padded_len`, default `lens` to each item's frame count.
+    A reference longer than the window must be truncated by the CALLER
+    (predicting from a prefix is the predictor's training task); text longer
+    than the window cannot be truncated meaningfully and raises."""
+    cond_mel = np.asarray(cond_mel, np.float32)
+    b, n, d = cond_mel.shape
+    if (b, d) != (spec.batch, spec.mel_dim) or n > spec.padded_len:
+        raise ValueError(
+            f"cond {cond_mel.shape} does not fit duration-artifact window "
+            f"[{spec.batch}, {spec.padded_len}, {spec.mel_dim}]"
+        )
+    text_np = np.asarray(text_ids, np.int32)
+    if spec.text_num_embeds is not None and text_np.size:
+        if int(text_np.max()) >= spec.text_num_embeds:
+            raise ValueError(
+                f"text id {int(text_np.max())} out of range for the artifact's "
+                f"text_num_embeds={spec.text_num_embeds}; the tokenizer vocab "
+                "does not match the exported predictor"
+            )
+    text_lens = (text_np != -1).sum(axis=-1)
+    if text_np.shape[1] > spec.padded_len and int(text_lens.max()) > spec.padded_len:
+        raise ValueError(
+            f"text length {int(text_lens.max())} exceeds the duration "
+            f"artifact's window ({spec.padded_len}); pass an explicit "
+            "duration or export a larger --padded-len"
+        )
+    cond = np.zeros((b, spec.padded_len, d), np.float32)
+    cond[:, :n] = cond_mel
+    text = np.full((b, spec.padded_len), -1, np.int32)
+    ncopy = min(text_np.shape[1], spec.padded_len)
+    text[:, :ncopy] = text_np[:, :ncopy]
+    lens_np = (
+        np.full((b,), n, np.int32) if lens is None else np.asarray(lens, np.int32)
+    )
+    return cond, text, np.clip(lens_np, 1, spec.padded_len).astype(np.int32)
+
+
 def main(argv=None) -> None:
     """Build a deployment artifact from a local snapshot directory:
 
@@ -498,12 +723,17 @@ def main(argv=None) -> None:
 
     The snapshot is a `save_pretrained` directory (weights + vocab + vocoder
     + config.json). Pass --w8a8 to bake the int8-MXU compute path into the
-    artifact, --mel-only to leave the vocoder out."""
+    artifact, --mel-only to leave the vocoder out, --duration to export the
+    snapshot's trained duration predictor instead of a sampler."""
     import argparse
 
     ap = argparse.ArgumentParser(description=main.__doc__)
     ap.add_argument("--model", required=True, help="local snapshot dir (save_pretrained)")
     ap.add_argument("--out", required=True, help="output artifact path")
+    ap.add_argument("--duration", action="store_true",
+                    help="export the snapshot's duration predictor (duration_v2) "
+                         "instead of a sampling artifact; --padded-len is the "
+                         "reference-mel window in frames (default 1024)")
     ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--padded-len", type=int, default=None,
                     help="duration bucket in frames (default: one bucket)")
@@ -524,6 +754,31 @@ def main(argv=None) -> None:
     args = ap.parse_args(argv)
 
     model = F5TTS.from_pretrained(args.model)
+    if args.duration:
+        for flag, name in ((args.w8a8, "--w8a8"), (args.mel_only, "--mel-only")):
+            if flag:
+                ap.error(f"{name} does not apply to --duration exports")
+        predictor = model._duration_predictor
+        if predictor is None:
+            ap.error(f"{args.model} has no duration_v2.safetensors; "
+                     "--duration needs a snapshot with a trained predictor")
+        exported = export_duration(
+            predictor,
+            batch=args.batch,
+            padded_len=args.padded_len or 1024,
+            use_flash=False if args.no_flash else None,
+            platforms=tuple(args.platforms.split(",")) if args.platforms else None,
+            embed_weights=not args.external_weights,
+        )
+        save_duration(exported, args.out, predictor=predictor)
+        cond_aval = exported.in_avals[-3]
+        print(
+            f"wrote {args.out}: duration predictor, window "
+            f"[{cond_aval.shape[0]}, {cond_aval.shape[1]}, {cond_aval.shape[2]}], "
+            f"platforms={exported.platforms}"
+            + (" (external weights)" if args.external_weights else "")
+        )
+        return
     if args.w8a8:
         model.dit_cfg = model.dit_cfg.replace(int8_compute=True)
     exported = export_sampler(

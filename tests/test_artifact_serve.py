@@ -14,6 +14,7 @@ import urllib.request
 import wave as wave_mod
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -179,6 +180,97 @@ def test_healthz_and_warmup(server):
         info = json.loads(r.read())
     assert [b["padded_len"] for b in info["buckets"]] == [64, 128]
     assert all(b["steps"] == 2 for b in info["buckets"])
+
+
+@pytest.fixture(scope="module")
+def duration_artifact(tmp_path_factory):
+    """A tiny exported duration predictor with the default audio constants
+    (24 kHz / hop 256 / mel 100 — matching the sampler fixtures)."""
+    from f5_tts_tpu.config import DurationConfig
+    from f5_tts_tpu.models.duration import DurationPredictor
+
+    dp = DurationPredictor.init(
+        jax.random.key(7),
+        DurationConfig(dim=32, depth=1, heads=2, dim_head=16, ff_mult=2,
+                       text_dim=16, conv_layers=1, use_flash_attention=False),
+    )
+    exp = E.export_duration(dp, batch=1, padded_len=64)
+    p = tmp_path_factory.mktemp("dur") / "dur.bin"
+    E.save_duration(exp, p, predictor=dp)
+    return str(p), dp
+
+
+def test_duration_artifact_resolves_missing_duration(artifacts, ref,
+                                                     duration_artifact):
+    """A request with no duration routes through the exported predictor (the
+    live server's predictor-by-default behavior, serve.py:_predict_durations);
+    estimate_duration still forces the byte-length heuristic."""
+    path, dp = duration_artifact
+    s = ArtifactSampler(artifacts, duration_artifact=path)
+    assert s.duration is not None
+
+    # the frames the server derives == the live predictor over the same
+    # padded window at sr // hop, speed-adjusted
+    frames = s._predict_duration_frames(ref, "ref words", "hello", 1.0)
+    window = s.duration.spec.padded_len
+    ref_frames = ref.shape[0] // HOP
+    buf = np.zeros((1, window * HOP), np.float32)
+    buf[0, : ref_frames * HOP] = ref[: ref_frames * HOP]
+    cond = np.array(s._mel(buf), np.float32)[:, :window]
+    cond[:, ref_frames:] = 0.0
+    text = s.tokenize(["ref words hello"])
+    sec = float(dp(jnp.asarray(cond), jnp.asarray(text),
+                   lens=jnp.array([ref_frames]))[0])
+    assert frames == max(int(sec * (SR // HOP)), 1)
+
+    # speed divides the frame count like the live path
+    fast = s._predict_duration_frames(ref, "ref words", "hello", 2.0)
+    assert fast == max(int(sec * (SR // HOP) / 2.0), 1)
+
+    # synthesize(None) == synthesize(explicit predicted frames), and the
+    # heuristic path is untouched under estimate=True
+    w_pred = s.synthesize("hello", ref, "ref words", None, seed=5)
+    w_explicit = s.synthesize("hello", ref, "ref words", frames, seed=5)
+    np.testing.assert_array_equal(w_pred, w_explicit)
+    from f5_tts_tpu.generate import estimated_duration
+
+    heur = int(estimated_duration(ref, "ref words", "hello", 1.0) * (SR / HOP))
+    w_heur = s.synthesize("hello", ref, "ref words", None, seed=5, estimate=True)
+    w_heur2 = s.synthesize("hello", ref, "ref words", heur, seed=5)
+    np.testing.assert_array_equal(w_heur, w_heur2)
+
+
+def test_duration_artifact_http_and_healthz(artifacts, ref, duration_artifact):
+    path, _ = duration_artifact
+    httpd = serve_artifacts(artifacts, default_ref=(ref, "ref words"),
+                            host="127.0.0.1", port=0, duration_artifact=path)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    url = f"http://127.0.0.1:{httpd.server_address[1]}"
+    try:
+        with urllib.request.urlopen(url + "/healthz", timeout=30) as r:
+            info = json.loads(r.read())
+        assert info["duration_predictor"] == {"padded_len": 64}
+        with _post(url, {"text": "hi", "seed": 1}) as r:  # no duration field
+            assert r.status == 200 and r.read()
+    finally:
+        httpd.shutdown()
+
+
+def test_duration_artifact_batch_validated(artifacts, tmp_path):
+    from f5_tts_tpu.config import DurationConfig
+    from f5_tts_tpu.models.duration import DurationPredictor
+
+    dp = DurationPredictor.init(
+        jax.random.key(8),
+        DurationConfig(dim=32, depth=1, heads=2, dim_head=16, ff_mult=2,
+                       text_dim=16, conv_layers=1, use_flash_attention=False),
+    )
+    exp = E.export_duration(dp, batch=2, padded_len=64)
+    p = tmp_path / "dur_b2.bin"
+    E.save_duration(exp, p, predictor=dp)
+    with pytest.raises(ValueError, match="batch=2"):
+        ArtifactSampler(artifacts, duration_artifact=str(p))
 
 
 def test_clamp_aware_bucket_upgrade(artifacts):
