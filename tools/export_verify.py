@@ -153,6 +153,42 @@ def main() -> None:
         except Exception as e:
             fail("small external-weights artifact AOT execution", e)
 
+        # duration-predictor artifact (export.py:export_duration): the
+        # flash-embedded exported predictor must run on the AOT path and
+        # match the live padded-window prediction (tests pin exact equality
+        # on CPU; on chip the AOT-vs-JIT bf16 spread applies)
+        try:
+            from f5_tts_tpu.config import DurationConfig
+            from f5_tts_tpu.models.duration import DurationPredictor
+
+            dp = DurationPredictor.init(
+                jax.random.key(5),
+                DurationConfig(dim=256, depth=2, heads=4, dim_head=64,
+                               ff_mult=2, text_dim=128, conv_layers=1,
+                               compute_dtype="bfloat16",
+                               use_flash_attention=True),
+            )
+            t0 = time.time()
+            exp_d = E.export_duration(dp, batch=1, padded_len=128)
+            pd = os.path.join(d, "dur.bin")
+            E.save_duration(exp_d, pd, predictor=dp)
+            s_d, spec_d = E.load_duration(pd)
+            mel_d = (rng.randn(1, 96, 100) * 0.1).astype(np.float32)
+            text_d = np.full((1, 16), -1, np.int32)
+            text_d[0, :5] = [3, 4, 5, 6, 7]
+            sec_art = float(np.asarray(s_d.call(*E.prep_duration_inputs(
+                spec_d, mel_d, text_d, lens=np.array([96], np.int32))))[0])
+            padded = np.zeros((1, 128, 100), np.float32)
+            padded[:, :96] = mel_d
+            sec_live = float(dp(jnp.asarray(padded), jnp.asarray(text_d),
+                                lens=jnp.array([96]))[0])
+            print(f"duration artifact export+AOT call: {time.time() - t0:.1f}s "
+                  f"(artifact {sec_art:.4f}s vs live {sec_live:.4f}s)", flush=True)
+            check("duration artifact vs live prediction rel err (bf16 spread)",
+                  abs(sec_art - sec_live) / max(abs(sec_live), 1e-6), 5e-2)
+        except Exception as e:
+            fail("duration artifact AOT execution", e)
+
     # -- 2. base config (deployment scale) ---------------------------------
     base = F5TTS_V1_BASE.replace(compute_dtype="bfloat16")
     base_model = F5TTS.init(jax.random.key(2), base, cfm_cfg=CFMConfig(),
