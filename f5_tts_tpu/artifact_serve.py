@@ -7,7 +7,9 @@ bucket — **no model weights/checkpoints are loaded, no model code is traced,
 and nothing recompiles per shape at request time**: each artifact is a fixed
 StableHLO program whose compilation environment was pinned at export time
 (`serve.py`, by contrast, is the full product server around the LIVE model —
-micro-batching, duration predictor, streaming).
+micro-batching across concurrent requests, overload protection). Long text
+streams sentence-by-sentence via `/synthesize_stream` (chunked WAV, same
+endpoint contract as serve.py's).
 
     f5-tts-tpu-export --model SNAP --out b256.bin --batch 1 --padded-len 256 \
         --steps 8 --method rk4 --external-weights
@@ -194,7 +196,7 @@ class ArtifactSampler:
         frame_rate = d.sample_rate // d.hop_length
         return max(int(seconds * frame_rate / speed), 1)
 
-    def synthesize(
+    def plan(
         self,
         text: str,
         ref_audio: np.ndarray,
@@ -202,15 +204,15 @@ class ArtifactSampler:
         duration_frames: int | None,
         *,
         speed: float = 1.0,
-        sway_sampling_coef: float | None = -1.0,
-        seed: int = 0,
         estimate: bool = False,
-    ) -> np.ndarray:
-        """One request -> generated-region float wave (ref region trimmed),
-        mirroring serve.py's frame-quantized trimming. A None duration
-        resolves through the exported duration predictor when one is loaded
-        (the byte-length heuristic otherwise, or when `estimate` forces it —
-        the same two-tier behavior as serve.py)."""
+    ) -> tuple[int, np.ndarray, Bucket]:
+        """Everything a request needs resolved BEFORE committing to a
+        response: total frames (trained predictor when a duration artifact is
+        loaded and `estimate` doesn't force the byte-length heuristic — the
+        live server's two-tier behavior, serve.py:_predict_durations),
+        tokenized ids, and the serving bucket. Raises ValueError for anything
+        no bucket can hold — the streaming endpoint pre-plans every sentence
+        so it never truncates a stream it already committed to."""
         hop = self.audio_cfg.hop_length
         if duration_frames is None:
             if self.duration is not None and not estimate:
@@ -239,6 +241,31 @@ class ArtifactSampler:
         bucket = self.pick_bucket(
             max(duration_frames, ref_frames + 1, text_len + 1)
         )
+        return duration_frames, text_ids, bucket
+
+    def synthesize(
+        self,
+        text: str,
+        ref_audio: np.ndarray,
+        ref_text: str,
+        duration_frames: int | None,
+        *,
+        speed: float = 1.0,
+        sway_sampling_coef: float | None = -1.0,
+        seed: int = 0,
+        estimate: bool = False,
+    ) -> np.ndarray:
+        """One request -> generated-region float wave (ref region trimmed),
+        mirroring serve.py's frame-quantized trimming. A None duration
+        resolves through `plan` (predictor / heuristic)."""
+        hop = self.audio_cfg.hop_length
+        duration_frames, text_ids, bucket = self.plan(
+            text, ref_audio, ref_text, duration_frames,
+            speed=speed, estimate=estimate,
+        )
+        largest = self.buckets[-1].spec.padded_len
+        ref_frames = min(ref_audio.shape[0] // hop, largest - 1,
+                         self.spec.max_duration - 1)
         with self._device_lock:
             # mel over a FIXED per-bucket window (zero-padded), so the mel
             # jit compiles once per bucket instead of once per distinct
@@ -266,10 +293,13 @@ class ArtifactSampler:
 
 
 def make_handler(sampler: ArtifactSampler, default_ref, allow_resample=False):
+    from f5_tts_tpu.generate import split_sentences
     from f5_tts_tpu.serve import (
         BadRequest,
         JsonHTTPHandler,
+        _pcm16,
         _wav_bytes,
+        _wav_stream_header,
         resolve_ref_payload,
     )
 
@@ -301,6 +331,8 @@ def make_handler(sampler: ArtifactSampler, default_ref, allow_resample=False):
                 self._json_error(404, "unknown path")
 
         def do_POST(self):
+            if self.path == "/synthesize_stream":
+                return self._synthesize_stream()
             if self.path != "/synthesize":
                 return self._json_error(404, "unknown path")
             payload = self._read_payload()
@@ -343,6 +375,77 @@ def make_handler(sampler: ArtifactSampler, default_ref, allow_resample=False):
             self.send_header("Content-Length", str(len(body)))
             self.end_headers()
             self.wfile.write(body)
+
+        def _write_chunk(self, data: bytes) -> None:
+            self.wfile.write(f"{len(data):X}\r\n".encode())
+            self.wfile.write(data)
+            self.wfile.write(b"\r\n")
+
+        def _synthesize_stream(self):
+            """Sentence-streamed synthesis (serve.py's /synthesize_stream for
+            artifact deployments): split the text, pre-plan EVERY sentence
+            (duration resolution + bucket fit — anything unservable 400s
+            before the stream commits), then synthesize sequentially,
+            streaming each sentence's PCM as chunked WAV the moment it's
+            ready. Time-to-first-audio = one sentence's latency instead of
+            the whole request's."""
+            payload = self._read_payload()
+            if payload is None:
+                return
+            text = payload.get("text")
+            if not text or not isinstance(text, str):
+                return self._json_error(400, "missing 'text'")
+            if payload.get("duration") is not None:
+                return self._json_error(
+                    400, "duration is per-request; unsupported with streaming "
+                    "(durations are resolved per sentence)")
+            try:
+                ref_audio, ref_text = resolve_ref_payload(
+                    payload, default_ref, acfg.sample_rate,
+                    max_ref_samples=max_ref_samples,
+                    allow_resample=allow_resample,
+                )
+            except BadRequest as e:
+                return self._json_error(400, str(e))
+
+            speed = float(payload.get("speed", 1.0))
+            estimate = bool(payload.get("estimate_duration"))
+            sway = payload.get("sway_sampling_coef", -1.0)
+            seed = int(payload.get("seed", 0))
+            sentences = split_sentences(text) or [text]
+            try:
+                frames = [
+                    sampler.plan(s, ref_audio, ref_text, None,
+                                 speed=speed, estimate=estimate)[0]
+                    for s in sentences
+                ]
+            except ValueError as e:
+                return self._json_error(400, str(e))
+            except Exception as e:
+                return self._json_error(500, f"duration resolution failed: {e}")
+
+            self.send_response(200)
+            self.send_header("Content-Type", "audio/wav")
+            self.send_header("Transfer-Encoding", "chunked")
+            self.end_headers()
+            self._write_chunk(_wav_stream_header(acfg.sample_rate))
+            try:
+                for s, f in zip(sentences, frames):
+                    pcm = _pcm16(sampler.synthesize(
+                        s, ref_audio, ref_text, f,
+                        speed=speed, sway_sampling_coef=sway, seed=seed,
+                    ))
+                    # a zero-length chunk IS the chunked-encoding terminator —
+                    # never emit one mid-stream (possible when a sentence's
+                    # clamped duration leaves no generated frames)
+                    if pcm:
+                        self._write_chunk(pcm)
+            except Exception:
+                # status line is already out — truncate the stream so the
+                # client sees a hard error rather than silent-complete audio
+                self.close_connection = True
+                return
+            self.wfile.write(b"0\r\n\r\n")
 
     return Handler
 

@@ -273,6 +273,65 @@ def test_duration_artifact_batch_validated(artifacts, tmp_path):
         ArtifactSampler(artifacts, duration_artifact=str(p))
 
 
+def test_synthesize_stream_matches_per_sentence_synthesis(server, ref):
+    """/synthesize_stream: chunked live-WAV whose PCM is exactly the
+    concatenation of per-sentence synthesis at the same resolved durations,
+    in order (the artifact-server counterpart of serve.py's streaming)."""
+    url, httpd = server
+    text = "Hi there. Also this one."
+    req = urllib.request.Request(
+        url + "/synthesize_stream",
+        data=json.dumps({"text": text, "seed": 4}).encode(),
+        headers={"Content-Type": "application/json"}, method="POST",
+    )
+    with urllib.request.urlopen(req, timeout=300) as r:
+        assert r.headers["Content-Type"] == "audio/wav"
+        body = r.read()  # urllib de-chunks
+    # 44-byte live-stream header (0xFFFFFFFF sizes), then raw PCM16
+    assert body[:4] == b"RIFF" and body[8:12] == b"WAVE"
+    pcm_stream = np.frombuffer(body[44:], "<i2")
+
+    from f5_tts_tpu.generate import split_sentences
+    from f5_tts_tpu.serve import resolve_ref_payload
+
+    s = httpd.sampler
+    ref_n, _ = resolve_ref_payload({}, (ref, "ref words"), SR)
+    parts = []
+    for sent in split_sentences(text):
+        frames = s.plan(sent, ref_n, "ref words", None)[0]
+        wave = s.synthesize(sent, ref_n, "ref words", frames, seed=4)
+        if wave.size:
+            parts.append((np.clip(wave, -1, 1) * 32767.0).astype("<i2"))
+    np.testing.assert_array_equal(pcm_stream, np.concatenate(parts))
+
+
+def test_synthesize_stream_rejects_request_duration(server):
+    url, _ = server
+    req = urllib.request.Request(
+        url + "/synthesize_stream",
+        data=json.dumps({"text": "Hello.", "duration": 1.0}).encode(),
+        headers={"Content-Type": "application/json"}, method="POST",
+    )
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req, timeout=30)
+    assert e.value.code == 400
+
+
+def test_synthesize_stream_unservable_sentence_400s_before_commit(server):
+    """A sentence no bucket can hold fails the WHOLE request with a clean 400
+    (pre-planning), not a truncated 200 stream."""
+    url, _ = server
+    req = urllib.request.Request(
+        url + "/synthesize_stream",
+        data=json.dumps({"text": "Short one. " + "word " * 400 + ".",
+                         "estimate_duration": True}).encode(),
+        headers={"Content-Type": "application/json"}, method="POST",
+    )
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req, timeout=60)
+    assert e.value.code == 400
+
+
 def test_clamp_aware_bucket_upgrade(artifacts):
     """A request whose REFERENCE pushes prep_inputs' duration clamp past the
     small bucket must route to the larger bucket instead of erroring: the
