@@ -171,7 +171,8 @@ class ArtifactSampler:
                   f"{time.time() - t0:.1f}s")
 
     def _predict_duration_frames(
-        self, ref_audio: np.ndarray, ref_text: str, text: str, speed: float
+        self, ref_audio: np.ndarray, ref_text: str, text: str, speed: float,
+        text_ids: np.ndarray | None = None,
     ) -> int:
         """Total frames from the exported duration predictor, mirroring the
         live path (serve.py:_predict_durations / models/cfm.predict_duration):
@@ -186,7 +187,8 @@ class ArtifactSampler:
         buf = np.zeros((1, d.padded_len * hop), np.float32)
         n = min(ref_audio.shape[0], ref_frames * hop)
         buf[0, :n] = ref_audio[:n]
-        text_ids = self.tokenize([ref_text + " " + text])
+        if text_ids is None:
+            text_ids = self.tokenize([ref_text + " " + text])
         with self._device_lock:
             cond = np.asarray(self._mel(buf), np.float32)[:, :ref_frames]
             args = prep_duration_inputs(
@@ -194,7 +196,9 @@ class ArtifactSampler:
             )
             seconds = float(np.asarray(self.duration.sampler.call(*args))[0])
         frame_rate = d.sample_rate // d.hop_length
-        return max(int(seconds * frame_rate / speed), 1)
+        # match the live path's rounding order exactly (cfm.predict_duration:
+        # seconds*frame_rate truncates to int32 BEFORE the speed division)
+        return max(int(int(seconds * frame_rate) / speed), 1)
 
     def plan(
         self,
@@ -214,10 +218,21 @@ class ArtifactSampler:
         no bucket can hold — the streaming endpoint pre-plans every sentence
         so it never truncates a stream it already committed to."""
         hop = self.audio_cfg.hop_length
+        text_ids = self.tokenize([ref_text + " " + text])
         if duration_frames is None:
-            if self.duration is not None and not estimate:
+            use_predictor = self.duration is not None and not estimate
+            if use_predictor:
+                # text longer than the predictor's fixed window cannot be
+                # truncated meaningfully (prep_duration_inputs raises); the
+                # live path handles such requests (text_embedding truncates to
+                # the mel window, blocks.py:193), so fall back to the
+                # byte-length heuristic instead of 400-ing the request
+                text_len = int((text_ids != -1).sum(axis=-1).max())
+                if text_len > self.duration.spec.padded_len:
+                    use_predictor = False
+            if use_predictor:
                 duration_frames = self._predict_duration_frames(
-                    ref_audio, ref_text, text, speed
+                    ref_audio, ref_text, text, speed, text_ids=text_ids
                 )
             else:
                 duration_frames = int(
@@ -229,7 +244,6 @@ class ArtifactSampler:
                     * self.audio_cfg.frames_per_second
                 )
         duration_frames = min(max(duration_frames, 1), self.spec.max_duration)
-        text_ids = self.tokenize([ref_text + " " + text])
 
         # bucket by the CLAMPED requirement: prep_inputs raises the duration
         # to at least lens+1 where lens = max(ref_frames, text_len), so the
@@ -310,6 +324,24 @@ def make_handler(sampler: ArtifactSampler, default_ref, allow_resample=False):
         (sampler.buckets[-1].spec.padded_len - 1) * acfg.hop_length
     )
 
+    def parse_params(payload):
+        """Validate the sampler knobs shared by both endpoints. Raises
+        BadRequest (-> 400) so a malformed value (e.g. speed: "fast") gets a
+        proper error response — on the stream endpoint an uncaught parse
+        error would reset the connection with no HTTP status at all."""
+        try:
+            speed = float(payload.get("speed", 1.0))
+            sway = payload.get("sway_sampling_coef", -1.0)
+            sway = None if sway is None else float(sway)
+            seed = int(payload.get("seed", 0))
+            duration = payload.get("duration")
+            duration = None if duration is None else float(duration)
+        except (TypeError, ValueError) as e:
+            raise BadRequest(f"bad parameter: {e}") from None
+        if not speed > 0:
+            raise BadRequest("speed must be > 0")
+        return speed, sway, seed, duration
+
     class Handler(JsonHTTPHandler):
         def do_GET(self):
             if self.path == "/healthz":
@@ -348,21 +380,21 @@ def make_handler(sampler: ArtifactSampler, default_ref, allow_resample=False):
                     max_ref_samples=max_ref_samples,
                     allow_resample=allow_resample,
                 )
+                speed, sway, seed, duration = parse_params(payload)
             except BadRequest as e:
                 return self._json_error(400, str(e))
 
-            duration = payload.get("duration")
             frames = (
                 None
                 if duration is None or payload.get("estimate_duration")
-                else int(float(duration) * acfg.frames_per_second)
+                else int(duration * acfg.frames_per_second)
             )
             try:
                 wave = sampler.synthesize(
                     text, ref_audio, ref_text, frames,
-                    speed=float(payload.get("speed", 1.0)),
-                    sway_sampling_coef=payload.get("sway_sampling_coef", -1.0),
-                    seed=int(payload.get("seed", 0)),
+                    speed=speed,
+                    sway_sampling_coef=sway,
+                    seed=seed,
                     estimate=bool(payload.get("estimate_duration")),
                 )
             except ValueError as e:
@@ -405,13 +437,11 @@ def make_handler(sampler: ArtifactSampler, default_ref, allow_resample=False):
                     max_ref_samples=max_ref_samples,
                     allow_resample=allow_resample,
                 )
+                speed, sway, seed, _ = parse_params(payload)
             except BadRequest as e:
                 return self._json_error(400, str(e))
 
-            speed = float(payload.get("speed", 1.0))
             estimate = bool(payload.get("estimate_duration"))
-            sway = payload.get("sway_sampling_coef", -1.0)
-            seed = int(payload.get("seed", 0))
             sentences = split_sentences(text) or [text]
             try:
                 frames = [
@@ -442,7 +472,13 @@ def make_handler(sampler: ArtifactSampler, default_ref, allow_resample=False):
                         self._write_chunk(pcm)
             except Exception:
                 # status line is already out — truncate the stream so the
-                # client sees a hard error rather than silent-complete audio
+                # client sees a hard error rather than silent-complete audio;
+                # log it server-side (the truncation alone is undiagnosable)
+                import sys
+                import traceback
+
+                print("mid-stream synthesis failed:", file=sys.stderr)
+                traceback.print_exc()
                 self.close_connection = True
                 return
             self.wfile.write(b"0\r\n\r\n")

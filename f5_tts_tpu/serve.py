@@ -781,7 +781,13 @@ def make_handler(batcher: MicroBatcher, default_ref: tuple[np.ndarray, str],
                         self._write_chunk(pcm)
             except Exception:
                 # status line is already out — truncate the stream so the
-                # client sees a hard error rather than silent-complete audio
+                # client sees a hard error rather than silent-complete audio;
+                # log it server-side (the truncation alone is undiagnosable)
+                import sys
+                import traceback
+
+                print("mid-stream synthesis failed:", file=sys.stderr)
+                traceback.print_exc()
                 self.close_connection = True
                 return
             self.wfile.write(b"0\r\n\r\n")
