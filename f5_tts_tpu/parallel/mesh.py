@@ -111,6 +111,19 @@ def _spec_for(path: str, leaf) -> P:
 # optimizer-moment paths that mirror the param tree match as well.
 _STACKED_RE = re.compile(r"(^|/)blocks/(?!\d+(/|$))")
 
+# The whole text embedding stays OFF FSDP: its depthwise convs interleave
+# matrices along the frame (SP) axis, and ANY "data"-sharded leaf whose
+# gradient flows through that stack (the pointwise matrices, and — measured —
+# even just the vocab table at the stack's input) makes GSPMD re-shard the
+# conv kernels inconsistently between forward and backward use sites under
+# FSDP x SP. Observed as SPMD "Involuntary full rematerialization" warnings
+# on f32[7,1,C] kernels in the 8-device dryrun; bisected 2026-08-19: present
+# iff fsdp AND seq>1 AND any text_embed leaf data-sharded, independent of
+# grad accumulation. The subtree is ~3% of base params and runs once per
+# step (outside the depth scan), so ZeRO buys ~nothing there; prefix-
+# agnostic so mirrored optimizer-moment paths match too.
+_FSDP_EXEMPT_RE = re.compile(r"(^|/)text_embed/")
+
 
 def _with_fsdp(spec: P, path: str, leaf, data_size: int) -> P:
     """Upgrade a TP spec with fully-sharded-data-parallel placement: shard the
@@ -123,16 +136,24 @@ def _with_fsdp(spec: P, path: str, leaf, data_size: int) -> P:
     under the stacked "blocks" subtree, including 2D stacked biases):
     `lax.scan` dynamic-slices that axis every layer, and slicing a sharded
     axis would all-gather the whole stack per iteration instead of one
-    layer's worth. 1D leaves (biases, norms) stay replicated — they are
-    noise next to the matrices and uneven splits aren't worth the layout
-    churn; a stacked bias [depth, dim] is 1D per layer and follows the same
-    rule. Dims not divisible by the data-axis size stay unsharded."""
+    layer's worth. FSDP applies only to weight MATRICES — per-layer 2D
+    leaves, possibly scan-stacked: 1D leaves (biases, norms) are noise next
+    to the matrices and uneven splits aren't worth the layout churn, and 3D
+    conv kernels / broadcast params ([k, in/g, out], GRN's [1, 1, dim])
+    stay replicated because their fwd/bwd use-site shardings disagree with
+    a "data"-sharded storage layout — measured on the 8-device dryrun as
+    SPMD "Involuntary full rematerialization" warnings in the conv backward
+    — while holding ~1% of the params (ZeRO buys nothing there). The text
+    embedding is exempt wholesale (see _FSDP_EXEMPT_RE).
+    Dims not divisible by the data-axis size stay unsharded."""
     shape = np.shape(leaf)
     ndim = len(shape)
     if data_size <= 1:
         return spec
+    if _FSDP_EXEMPT_RE.search(path):
+        return spec
     start = 1 if _STACKED_RE.search(path) else 0
-    if ndim - start < 2:  # per-layer vectors/scalars: replicated
+    if ndim - start != 2:  # only [in, out]-shaped weight matrices
         return spec
     entries = list(spec) + [None] * (ndim - len(spec))
     cands = [
@@ -194,6 +215,18 @@ def shard_state(state: dict, mesh: Mesh, fsdp: bool = False) -> dict:
     return jax.device_put(
         state, _named(mesh, state_specs(state, _fsdp_size(mesh, fsdp)))
     )
+
+
+def grad_shardings(params: Params, mesh: Mesh, fsdp: bool = False):
+    """NamedSharding pytree mirroring a param tree's placement — pass to
+    `make_train_step(grad_shardings=...)` so the gradient-accumulation scan
+    carry is pinned to the params' layout instead of whatever GSPMD
+    propagation picks. Under FSDP this is the ZeRO-correct accumulator: the
+    f32 carry is params-sized, so a propagation-chosen replicated layout
+    would cost the full f32 param footprint PER DEVICE (1.3 GB at base
+    scale), while the pinned layout keeps 1/data-th and feeds the optimizer
+    update in-place."""
+    return _named(mesh, param_specs(params, _fsdp_size(mesh, fsdp)))
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:

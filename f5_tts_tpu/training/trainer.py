@@ -87,6 +87,7 @@ def _build_step(
     optimizer: optax.GradientTransformation,
     ema_decay: float | None,
     grad_accum: int,
+    grad_shardings=None,
 ):
     """Shared step builder. `loss_fn(params, inp, text, lens, key) -> scalar`.
 
@@ -99,7 +100,15 @@ def _build_step(
     batch step: one jit, static shapes, no per-microbatch dispatch. Each
     microbatch draws its own folded PRNG key and its loss is the masked mean
     over ITS OWN span elements, so microbatches weight equally (exactly what k
-    independent steps would each compute); the reported loss is their mean."""
+    independent steps would each compute); the reported loss is their mean.
+
+    `grad_shardings` (a NamedSharding pytree mirroring the params — see
+    parallel/mesh.grad_shardings) pins the accumulation carry to the params'
+    placement on a mesh: without it GSPMD propagation is free to pick its own
+    layouts for the carried gradients inside the scan. Under FSDP this is the
+    ZeRO-correct choice — the f32 carry is params-sized, so gradients must
+    accumulate already reduce-scattered to their 1/data-th shard rather than
+    replicated (full f32 param footprint per device)."""
 
     def apply_update(state, grads, loss):
         updates, opt_state = optimizer.update(grads, state["opt_state"], state["params"])
@@ -121,6 +130,11 @@ def _build_step(
 
     k = int(grad_accum)
 
+    def constrain(grads):
+        if grad_shardings is None:
+            return grads
+        return jax.tree.map(jax.lax.with_sharding_constraint, grads, grad_shardings)
+
     def train_step(state: dict, inp: jax.Array, text: jax.Array, lens: jax.Array, key: jax.Array):
         keys = jax.random.split(key, k)
 
@@ -130,14 +144,14 @@ def _build_step(
             loss, grads = jax.value_and_grad(loss_fn)(
                 state["params"], inp_i, text_i, lens_i, key_i
             )
-            g_acc = jax.tree.map(
+            g_acc = constrain(jax.tree.map(
                 lambda a, g: a + g.astype(jnp.float32), g_acc, grads
-            )
+            ))
             return (g_acc, l_acc + loss.astype(jnp.float32)), None
 
-        zeros = jax.tree.map(
+        zeros = constrain(jax.tree.map(
             lambda p: jnp.zeros(p.shape, jnp.float32), state["params"]
-        )
+        ))
         (g_sum, l_sum), _ = jax.lax.scan(
             micro, (zeros, jnp.zeros((), jnp.float32)), (inp, text, lens, keys)
         )
@@ -155,6 +169,7 @@ def make_train_step(
     optimizer: optax.GradientTransformation,
     ema_decay: float | None = None,
     grad_accum: int = 1,
+    grad_shardings=None,
 ):
     """Build the pure (state, batch, key) -> (state, loss) step. Callers jit it
     (optionally with shardings; see parallel/mesh.py and __graft_entry__).
@@ -173,7 +188,7 @@ def make_train_step(
     def loss_fn(p, mel, text, lens, key):
         return cfm_loss(p, dit_cfg, cfm_cfg, key, mel, text, lens)
 
-    return _build_step(loss_fn, optimizer, ema_decay, grad_accum)
+    return _build_step(loss_fn, optimizer, ema_decay, grad_accum, grad_shardings)
 
 
 def make_train_step_from_audio(
@@ -183,6 +198,7 @@ def make_train_step_from_audio(
     ema_decay: float | None = None,
     audio_cfg: "AudioConfig | None" = None,
     grad_accum: int = 1,
+    grad_shardings=None,
 ):
     """Train step taking RAW audio [b, n_samples]: the mel front-end runs
     inside the jitted step ON THE ACCELERATOR (µs of MXU time) instead of on
@@ -213,7 +229,7 @@ def make_train_step_from_audio(
         mel = jnp.where((frames < lens[:, None])[..., None], mel, 0.0)
         return cfm_loss(p, dit_cfg, cfm_cfg, key, mel, text, lens)
 
-    return _build_step(loss_fn, optimizer, ema_decay, grad_accum)
+    return _build_step(loss_fn, optimizer, ema_decay, grad_accum, grad_shardings)
 
 
 def split_microbatches(grad_accum: int, *arrays, data_size: int | None = None):
@@ -498,16 +514,24 @@ class F5TTSTrainer:
 
         if grad_accum < 1:
             raise ValueError(f"grad_accum must be >= 1, got {grad_accum}")
+        g_shardings = None
+        if self.mesh is not None and grad_accum > 1:
+            # pin the accumulation carry to the params' mesh placement (see
+            # _build_step's grad_shardings note)
+            from f5_tts_tpu.parallel.mesh import grad_shardings as _gsh
+
+            g_shardings = _gsh(self.state["params"], self.mesh, fsdp=self.fsdp)
         if on_device_mel:
             step_fn = make_train_step_from_audio(
                 self.model.dit_cfg, self.model.cfm_cfg, optimizer,
                 ema_decay=self.ema_decay, audio_cfg=self.model.audio_cfg,
-                grad_accum=grad_accum,
+                grad_accum=grad_accum, grad_shardings=g_shardings,
             )
         else:
             step_fn = make_train_step(
                 self.model.dit_cfg, self.model.cfm_cfg, optimizer,
                 ema_decay=self.ema_decay, grad_accum=grad_accum,
+                grad_shardings=g_shardings,
             )
         if self.mesh is not None:
             from f5_tts_tpu.parallel.mesh import shard_train_step

@@ -210,13 +210,19 @@ def test_fsdp_specs_never_shard_stacked_depth_axis():
             )
         # non-stacked matrices still pick up a "data" dim (ZeRO is active)
         assert "data" in tuple(specs["proj_out"]["kernel"])
-        # text_embed's LIST "blocks" is not treated as stacked: its pointwise
-        # conv kernels [in, out] (in=32, out=64) shard over data where divisible
+        # the whole text embedding is exempt from FSDP
+        # (parallel/mesh._FSDP_EXEMPT_RE): any "data"-sharded leaf whose
+        # gradient flows through the ConvNeXt stack makes GSPMD re-shard the
+        # depthwise-conv kernels inconsistently between fwd/bwd under
+        # FSDP x SP (involuntary full rematerialization)
         te = jax.tree.leaves(
-            jax.tree.map(tuple, specs["text_embed"]["blocks"]),
+            jax.tree.map(tuple, specs["text_embed"]),
             is_leaf=lambda s: isinstance(s, tuple),
         )
-        assert any("data" in s for s in te)
+        assert all("data" not in s for s in te)
+        # ...but the exemption must not spill onto OTHER non-stacked
+        # matrices: the input projection [2*mel+text_dim, dim] still shards
+        assert "data" in tuple(specs["input_embed"]["proj"]["kernel"])
 
 
 def test_trainer_grad_accum_loop(tmp_path):
