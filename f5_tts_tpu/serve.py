@@ -205,6 +205,10 @@ class _Request:
     # token-id cache filled by MicroBatcher._tokenize (a request can pass
     # through duration prediction AND synthesis; tokenize once)
     text_ids: np.ndarray | None = None
+    # artifact serving only: the padded_len of the exported bucket this
+    # request was planned onto (artifact_serve fills it; the live server's
+    # group key derives its bucket from duration_frames instead)
+    bucket_len: int | None = None
     future: Future = field(default_factory=Future)
     # enqueue time, for the scheduler's anti-starvation aging (monotonic)
     t_submit: float = field(default_factory=time.monotonic)
@@ -361,10 +365,9 @@ class MicroBatcher(threading.Thread):
         if not pending:
             return pending
 
-        bucket = self.model.cfm_cfg.duration_bucket
         groups: dict[tuple, list[_Request]] = {}
         for r in pending:
-            groups.setdefault(r.group_key(bucket), []).append(r)
+            groups.setdefault(self._group_key(r), []).append(r)
 
         now = time.monotonic()
 
@@ -391,6 +394,14 @@ class MicroBatcher(threading.Thread):
                 except queue.Empty:
                     break
         return remaining
+
+    def _group_key(self, r: _Request) -> tuple:
+        """Compatibility key for batching (overridable: artifact_serve's
+        batcher keys on the serving artifact's bucket instead of the live jit
+        cache's duration bucket). The tuple layout is load-bearing for the
+        scheduler: [0] scales job cost, [5] is the duration bucket, [6] the
+        stream rank."""
+        return r.group_key(self.model.cfm_cfg.duration_bucket)
 
     def _expire(self, pending: list[_Request]) -> list[_Request]:
         """Fail past-deadline requests with TimeoutError and drop anything

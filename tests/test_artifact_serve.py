@@ -66,6 +66,7 @@ def server(artifacts, ref):
     t = threading.Thread(target=httpd.serve_forever, daemon=True)
     t.start()
     yield f"http://127.0.0.1:{httpd.server_address[1]}", httpd
+    httpd.batcher.stop()
     httpd.shutdown()
 
 
@@ -87,26 +88,39 @@ def test_default_ref_rate_validated(artifacts, ref):
     httpd = serve_artifacts(artifacts, default_ref=(ref, "x"),
                             default_ref_sr=16_000, host="127.0.0.1", port=0,
                             allow_resample=True)
+    httpd.batcher.stop()
     httpd.server_close()
 
 
 def test_bucket_selection(artifacts):
     s = ArtifactSampler(artifacts)
     assert [b.spec.padded_len for b in s.buckets] == [64, 128]
-    assert s.pick_bucket(40).spec.padded_len == 64
-    assert s.pick_bucket(64).spec.padded_len == 64
-    assert s.pick_bucket(65).spec.padded_len == 128
+    assert s.pick_length(40) == 64
+    assert s.pick_length(64) == 64
+    assert s.pick_length(65) == 128
     with pytest.raises(ValueError, match="largest artifact bucket"):
-        s.pick_bucket(129)
+        s.pick_length(129)
 
 
-def test_rejects_batched_artifacts(model, tmp_path):
-    exp = E.export_sampler(model, batch=2, steps=2, method="euler",
-                           embed_weights=False)
-    p = tmp_path / "b2.bin"
-    E.save_sampler(exp, p, model=model)
-    with pytest.raises(ValueError, match="batch=2"):
-        ArtifactSampler([str(p)])
+def test_pick_artifact_prefers_smallest_fitting_batch(model, tmp_path):
+    """Within one bucket length, a group of k requests routes to the smallest
+    exported batch >= k (else the largest, and the batcher chunks)."""
+    paths = []
+    for b in (1, 4):
+        exp = E.export_sampler(model, batch=b, padded_len=64, steps=2,
+                               method="euler", embed_weights=False)
+        p = tmp_path / f"b{b}.bin"
+        E.save_sampler(exp, p, model=model)
+        paths.append(str(p))
+    s = ArtifactSampler(paths)
+    assert s.max_batch == 4
+    assert s.pick_artifact(64, 1).spec.batch == 1
+    assert s.pick_artifact(64, 2).spec.batch == 4
+    assert s.pick_artifact(64, 4).spec.batch == 4
+    # more than the largest batch: the largest variant (caller chunks)
+    assert s.pick_artifact(64, 9).spec.batch == 4
+    with pytest.raises(ValueError, match="padded_len"):
+        s.pick_artifact(128, 1)
 
 
 def test_http_synthesize_matches_direct_export_call(server, artifacts, ref):
@@ -254,6 +268,7 @@ def test_duration_artifact_http_and_healthz(artifacts, ref, duration_artifact):
         with _post(url, {"text": "hi", "seed": 1}) as r:  # no duration field
             assert r.status == 200 and r.read()
     finally:
+        httpd.batcher.stop()
         httpd.shutdown()
 
 
@@ -350,3 +365,112 @@ def test_clamp_aware_bucket_upgrade(artifacts):
     # not a ValueError
     wave = s.synthesize("hi", long_ref, "ref words", 40)
     assert wave.size == 0  # duration clamped to lens+1 -> empty generated region
+
+
+@pytest.fixture(scope="module")
+def batched_artifacts(model, tmp_path_factory):
+    """One bucket length (64 frames) in batch-1 and batch-4 variants."""
+    tmp = tmp_path_factory.mktemp("batched_artifacts")
+    paths = []
+    for b in (1, 4):
+        exp = E.export_sampler(model, batch=b, padded_len=64, steps=2,
+                               method="euler", embed_weights=False)
+        p = tmp / f"b{b}_64.bin"
+        E.save_sampler(exp, p, model=model)
+        paths.append(str(p))
+    return paths
+
+
+def test_concurrent_requests_batch_and_match_serial(batched_artifacts, ref):
+    """N concurrent HTTP requests coalesce into ONE batch-4 device call
+    (the VERDICT r4 gap: the artifact server used to be strictly serial),
+    and each batched result equals the serial direct-API result."""
+    httpd = serve_artifacts(batched_artifacts, default_ref=(ref, "ref words"),
+                            host="127.0.0.1", port=0, max_wait_ms=500)
+    sampler = httpd.sampler
+    calls = []
+    orig = sampler.synthesize_chunk
+
+    def counting(art, ids, refs, durs, **kw):
+        calls.append((art.spec.batch, len(ids)))
+        return orig(art, ids, refs, durs, **kw)
+
+    sampler.synthesize_chunk = counting
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    url = f"http://127.0.0.1:{httpd.server_address[1]}"
+    texts = [f"hello number {i}" for i in range(4)]
+    results = {}
+
+    def post_one(i):
+        with _post(url, {"text": texts[i], "duration": 0.5, "seed": 3}) as r:
+            results[i] = r.read()
+
+    try:
+        threads = [threading.Thread(target=post_one, args=(i,)) for i in range(4)]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join()
+        assert sorted(results) == [0, 1, 2, 3]
+        # the burst coalesced: at least one device call served >1 request
+        # through the batch-4 artifact (the 500 ms gather window makes four
+        # local posts land in one group deterministically)
+        assert any(b == 4 and k > 1 for b, k in calls), calls
+        assert len(calls) < 4, calls
+
+        # equality with the serial direct API (which runs batches of one)
+        from f5_tts_tpu.serve import resolve_ref_payload
+
+        ref_n, _ = resolve_ref_payload({}, (ref, "ref words"), SR)
+        for i in range(4):
+            with wave_mod.open(io.BytesIO(results[i])) as w:
+                pcm_http = np.frombuffer(w.readframes(w.getnframes()), "<i2")
+            wave = sampler.synthesize(texts[i], ref_n, "ref words",
+                                      int(0.5 * SR / HOP), seed=3)
+            pcm_direct = (np.clip(wave, -1, 1) * 32767.0).astype("<i2")
+            assert pcm_http.shape == pcm_direct.shape
+            # batch-4 vs batch-1 programs: same math per item (masked
+            # attention/cond), allow 1 LSB for any fused-reduction wiggle
+            np.testing.assert_allclose(
+                pcm_http.astype(np.int32), pcm_direct.astype(np.int32), atol=1
+            )
+    finally:
+        httpd.batcher.stop()
+        httpd.shutdown()
+
+
+def test_stream_sentences_batch_through_backfill_group(batched_artifacts, ref):
+    """A 3-sentence stream: sentence 0 runs as its own rank-0 group
+    (time-to-first-audio), the backfill sentences share device calls."""
+    httpd = serve_artifacts(batched_artifacts, default_ref=(ref, "ref words"),
+                            host="127.0.0.1", port=0, max_wait_ms=200)
+    sampler = httpd.sampler
+    calls = []
+    orig = sampler.synthesize_chunk
+
+    def counting(art, ids, refs, durs, **kw):
+        calls.append((art.spec.batch, len(ids)))
+        return orig(art, ids, refs, durs, **kw)
+
+    sampler.synthesize_chunk = counting
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    url = f"http://127.0.0.1:{httpd.server_address[1]}"
+    req = urllib.request.Request(
+        url + "/synthesize_stream",
+        data=json.dumps({"text": "One two. Three four. Five six.",
+                         "estimate_duration": True, "seed": 1}).encode(),
+        headers={"Content-Type": "application/json"}, method="POST",
+    )
+    try:
+        with urllib.request.urlopen(req, timeout=300) as r:
+            assert r.headers.get("Transfer-Encoding") == "chunked"
+            body = r.read()
+        assert len(body) > 44  # header + PCM
+        # 3 sentences, but fewer device calls: the rank-1 backfill batched
+        assert len(calls) == 2, calls
+        assert calls[0][1] == 1 and calls[1][1] == 2, calls
+    finally:
+        httpd.batcher.stop()
+        httpd.shutdown()
