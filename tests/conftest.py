@@ -19,3 +19,16 @@ import jax  # noqa: E402
 # config route reliably forces CPU.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
+
+
+def pytest_sessionstart(session):
+    """Optional native-crash tracing for the documented full-suite SIGSEGV
+    (CLAUDE.md; tools/segv_bt.c): build the handler and export
+    F5_TTS_SEGV_BT=/path/to/segv_bt.so to get a native backtrace on stderr
+    when the crash fires. Installed here — AFTER pytest's faulthandler
+    plugin — so it runs first and chains to faulthandler's Python dump."""
+    bt = os.environ.get("F5_TTS_SEGV_BT")
+    if bt and os.path.exists(bt):
+        import ctypes
+
+        ctypes.CDLL(bt).install_bt_handler()
