@@ -19,6 +19,11 @@ RTF <= 0.05 on one TPU v5e chip.
 
 `python bench.py --q 8` measures the int8 weight-quantized model instead
 (metric name gains a `_int8` suffix; not the driver's headline line).
+
+The JSON line also carries `device_rtf`: the marginal per-request time with
+three requests queued back-to-back (one sync), which excludes the axon
+tunnel's noisy per-dispatch host<->device round trip — the stable
+code-quality number; `value` stays the end-to-end wall RTF (the contract).
 """
 
 from __future__ import annotations
@@ -123,6 +128,35 @@ def main() -> None:
     audio_seconds = wave.shape[-1] / sr
     rtf = wall / audio_seconds
 
+    # Device-time RTF: queue CHAIN requests back-to-back and sync once; the
+    # marginal time per request excludes the per-dispatch host<->device round
+    # trip, which on the axon tunnel is a noisy ~25-30 ms artifact
+    # (microseconds on a directly-attached chip) — tools/fusion_probe.py
+    # methodology, docs/PERFORMANCE.md "Wall vs device". Recorded alongside
+    # the wall number so round-over-round comparisons stop conflating tunnel
+    # weather with code changes.
+    CHAIN = 3
+
+    def run_nosync():
+        w, _ = model.sample(
+            jnp.asarray(ref)[None, :], text=text, duration=duration,
+            steps=STEPS, method="euler", cfg_strength=2.0,
+            sway_sampling_coef=-1.0, seed=0, return_trajectory=False,
+        )
+        return w
+
+    chain_times = []
+    for _ in range(TIMED_RUNS):
+        t0 = time.perf_counter()
+        waves = [run_nosync() for _ in range(CHAIN)]
+        for w in waves:
+            np.asarray(w[..., :8])
+        chain_times.append(time.perf_counter() - t0)
+    marginal = (min(chain_times) - wall) / (CHAIN - 1)
+    # a tunnel hiccup can push the chain under the single-run wall; never
+    # report a nonsensical device number, fall back to wall
+    device_rtf = (marginal if 0 < marginal <= wall else wall) / audio_seconds
+
     suffix = f"_int{args.q}" if args.q else ""
     if args.w8a8:
         suffix += "_w8a8"
@@ -133,6 +167,7 @@ def main() -> None:
                 "value": round(rtf, 5),
                 "unit": "rtf",
                 "vs_baseline": round(rtf / BASELINE_RTF, 5),
+                "device_rtf": round(device_rtf, 5),
             }
         )
     )

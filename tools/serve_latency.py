@@ -14,6 +14,12 @@ duration buckets / batch sizes through the live batcher, then measures:
 
 Run alone on the chip: python tools/serve_latency.py
 Prints one JSON line per metric.
+
+--artifact-bench instead measures the ARTIFACT server's micro-batching
+(artifact_serve.ArtifactBatcher): it exports batch-1 and batch-4 sampler
+artifacts from the same model, serves them, and compares 8 sequential
+requests against 8 concurrent ones — the throughput delta the batch-N
+artifacts buy under concurrent load.
 """
 
 from __future__ import annotations
@@ -41,7 +47,93 @@ def post(port: int, payload: dict, path: str = "/synthesize", timeout: float = 6
     return urllib.request.urlopen(req, timeout=timeout)
 
 
+def _build_model():
+    from f5_tts_tpu.config import F5TTS_V1_BASE, CFMConfig, VocosConfig
+    from f5_tts_tpu.models.cfm import F5TTS
+    from f5_tts_tpu.models.vocos import Vocos
+
+    dit_cfg = F5TTS_V1_BASE.replace(compute_dtype="bfloat16")
+    vocoder = Vocos.init(jax.random.key(1), VocosConfig(compute_dtype="bfloat16"))
+    return F5TTS.init(jax.random.key(0), dit_cfg, cfm_cfg=CFMConfig(),
+                      vocoder=vocoder.decode)
+
+
+def artifact_bench(seconds: float = 7.0, n_requests: int = 8) -> None:
+    """Sequential-vs-concurrent throughput through the artifact server."""
+    import tempfile
+
+    from f5_tts_tpu import export as E
+    from f5_tts_tpu.artifact_serve import serve_artifacts
+
+    model = _build_model()
+    frames = int(seconds * model.audio_cfg.frames_per_second)
+    bucket = model.cfm_cfg.duration_bucket
+    padded = -(-frames // bucket) * bucket + bucket  # headroom past the clamp
+    tmp_base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    with tempfile.TemporaryDirectory(dir=tmp_base) as tmp:
+        paths = []
+        for b in (1, 4):
+            t0 = time.perf_counter()
+            exp = E.export_sampler(model, batch=b, padded_len=padded, steps=8,
+                                   method="rk4", embed_weights=False)
+            path = os.path.join(tmp, f"b{b}.bin")
+            E.save_sampler(exp, path, model=model,
+                           extra_meta={"method": "rk4", "cfg_strength": 2.0})
+            paths.append(path)
+            print(json.dumps({"metric": f"export_b{b}_s",
+                              "value": round(time.perf_counter() - t0, 1)}))
+        sr = model.audio_cfg.sample_rate
+        ref = (0.1 * np.sin(2 * np.pi * 220 * np.arange(2 * sr) / sr)
+               ).astype(np.float32)
+        httpd = serve_artifacts(
+            paths, default_ref=(ref, "a throughput probe reference"),
+            host="127.0.0.1", port=0, max_wait_ms=100.0,
+        )
+        port = httpd.server_address[1]
+        threading.Thread(target=httpd.serve_forever, daemon=True).start()
+        httpd.sampler.warmup()
+
+        payload = {"text": "an artifact serving throughput probe request",
+                   "duration": seconds, "seed": 0}
+
+        def one(i=None):
+            with post(port, payload) as r:
+                r.read()
+
+        one()  # residual warm (mel shapes etc.)
+        t0 = time.perf_counter()
+        for i in range(n_requests):
+            one()
+        seq = time.perf_counter() - t0
+
+        threads = [threading.Thread(target=one, args=(i,))
+                   for i in range(n_requests)]
+        t0 = time.perf_counter()
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=600)
+        conc = time.perf_counter() - t0
+
+        print(json.dumps({
+            "metric": "artifact_throughput_sequential_utt_s",
+            "value": round(n_requests / seq, 3),
+            "total_s": round(seq, 3),
+        }))
+        print(json.dumps({
+            "metric": "artifact_throughput_concurrent_utt_s",
+            "value": round(n_requests / conc, 3),
+            "total_s": round(conc, 3),
+            "speedup_vs_sequential": round(seq / conc, 2),
+        }))
+        httpd.batcher.stop()
+        httpd.shutdown()
+
+
 def main() -> None:
+    if "--artifact-bench" in sys.argv:
+        return artifact_bench()
+
     from f5_tts_tpu.config import F5TTS_V1_BASE, CFMConfig, VocosConfig
     from f5_tts_tpu.models.cfm import F5TTS
     from f5_tts_tpu.models.vocos import Vocos
