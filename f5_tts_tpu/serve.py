@@ -267,6 +267,7 @@ class MicroBatcher(threading.Thread):
         self._outstanding = 0
         self._count_lock = threading.Lock()
         self._stop_evt = threading.Event()  # NOT `_stop`: Thread.join() calls the internal Thread._stop
+        self._next_map_check = 0.0  # monotonic; mapping-cap budget probe
 
     def submit(self, req: _Request) -> Future:
         if req.deadline is None and self.request_timeout_s:
@@ -323,6 +324,34 @@ class MicroBatcher(threading.Thread):
                     except queue.Empty:
                         break
             pending = self._step(pending, drain=True)
+            self._check_map_budget(_time.monotonic())
+
+    def _check_map_budget(self, now: float) -> None:
+        """Mapping-cap insurance for long-lived servers (once a minute, off
+        the hot path): every compiled executable stays ORC-JIT-loaded as
+        ~20+ anonymous mappings, and a server fed unbounded NOVEL shapes
+        would eventually cross the kernel's `vm.max_map_count` (65530),
+        where mmap fails ENOMEM and XLA crashes or deadlocks mid-compile
+        (the root-caused full-suite SIGSEGV, utils/profiling.host_map_count).
+        Normal bucketed serving compiles a bounded set and never trips this;
+        if it does trip, clearing the jit caches trades one latency spike
+        (warmed shapes recompile) for staying alive."""
+        if now < self._next_map_check:
+            return
+        self._next_map_check = now + 60.0
+        from f5_tts_tpu.utils.profiling import (
+            host_map_count,
+            release_executables_if_crowded,
+        )
+
+        n = host_map_count()
+        if n >= 60_000:
+            release_executables_if_crowded(threshold=60_000)
+            print(f"[serve] mapping count {n} neared vm.max_map_count; "
+                  "jit caches cleared (warmed shapes will recompile)")
+        elif n >= 50_000:
+            print(f"[serve] warning: {n} memory mappings (vm.max_map_count "
+                  "is typically 65530); expect a cache clear at 60k")
 
     def _process_batch(self, batch: list[_Request]) -> None:
         """Resolve deferred durations, group, and run every group (the whole

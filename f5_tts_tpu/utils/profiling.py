@@ -43,6 +43,48 @@ def enable_compilation_cache(cache_dir: str | None = None, force: bool = False) 
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
+def host_map_count() -> int:
+    """Number of memory mappings this process holds (`/proc/self/maps` rows;
+    0 where procfs is unavailable).
+
+    Why it matters: every XLA:CPU executable is ORC-JIT-loaded as ~3 anonymous
+    mappings per codegen object (code/rodata/data; ~20+ mappings per
+    real-model executable). The kernel caps a process at `vm.max_map_count`
+    mappings (65530 default), and when mmap hits the cap it fails with ENOMEM
+    even with hundreds of GB free — LLVM then reports "compilation error:
+    Cannot allocate memory" and, depending on which allocation dies, XLA
+    deadlocks or segfaults in `backend_compile_and_load` / the compile-cache
+    zstd writer. A process that keeps compiling NEW executables for ~25 min
+    (the full test suite; a server fed unbounded novel shapes) accumulates
+    into the cap. Root-caused 2026-08-19: the hung suite held 64,458 maps
+    (63,277 anonymous, in r-xp/r--p/rw-p triplets) vs the 65,530 limit.
+    """
+    try:
+        with open("/proc/self/maps") as f:
+            return sum(1 for _ in f)
+    except OSError:
+        return 0
+
+
+def release_executables_if_crowded(threshold: int = 40_000) -> bool:
+    """Drop jit caches when the mapping count nears `vm.max_map_count`.
+
+    `jax.clear_caches()` releases the compiled executables the jit caches
+    own (measured: ~88% of accumulated anonymous mappings return to the
+    kernel); live references (warmed server executables, loaded AOT
+    artifacts, a model's cast cache) survive and simply recompile on next
+    miss elsewhere. Returns True when a release was triggered. Call from
+    long loops that compile unboundedly (the test suite does, per test —
+    tests/conftest.py)."""
+    if host_map_count() < threshold:
+        return False
+    import gc
+
+    jax.clear_caches()
+    gc.collect()
+    return True
+
+
 def device_sync(x) -> None:
     """Force completion of the computation producing x (host readback of one
     element; works on backends where block_until_ready is a no-op)."""

@@ -544,3 +544,39 @@ def test_cancelled_request_does_not_poison_group():
     b._run_group([gone, live])
     assert live.future.result(timeout=5) is not None
     assert gone.future.cancelled()
+
+
+def test_map_budget_check_warns_and_clears(monkeypatch, capsys):
+    """The batcher's once-a-minute mapping-cap probe (serve reliability:
+    utils/profiling.host_map_count root-cause notes): silent below 50k
+    mappings, warns at 50k, clears the jit caches at 60k — and is
+    time-gated so it never reads procfs on every loop iteration."""
+    import f5_tts_tpu.utils.profiling as prof
+    from f5_tts_tpu.serve import MicroBatcher
+
+    b = MicroBatcher(_tiny_model_for_batcher())  # not started
+
+    cleared = []
+    monkeypatch.setattr(prof, "release_executables_if_crowded",
+                        lambda threshold: cleared.append(threshold) or True)
+
+    monkeypatch.setattr(prof, "host_map_count", lambda: 10_000)
+    b._next_map_check = 0.0
+    b._check_map_budget(now=100.0)
+    assert capsys.readouterr().out == "" and not cleared
+
+    monkeypatch.setattr(prof, "host_map_count", lambda: 51_000)
+    b._next_map_check = 0.0
+    b._check_map_budget(now=100.0)
+    assert "warning: 51000 memory mappings" in capsys.readouterr().out
+    assert not cleared
+
+    monkeypatch.setattr(prof, "host_map_count", lambda: 61_000)
+    b._next_map_check = 0.0
+    b._check_map_budget(now=100.0)
+    assert "jit caches cleared" in capsys.readouterr().out
+    assert cleared == [60_000]
+
+    # time gate: a check inside the window is a no-op even at 61k maps
+    b._check_map_budget(now=100.0)
+    assert capsys.readouterr().out == "" and cleared == [60_000]

@@ -1,11 +1,24 @@
-"""Minimizer for the documented full-suite native SIGSEGV.
+"""Minimizer for the (since root-caused) full-suite native SIGSEGV.
 
-Symptom (CLAUDE.md "Environment gotchas", tests/run_suite.sh): a single
-`pytest tests/` process can die at ~96% with a native SIGSEGV inside
-`backend_compile_and_load` — the first XLA compile issued from a non-main
-thread (serve.py's MicroBatcher resolving the duration predictor) after
-~25 min of accumulated suite state. test_serve alone is 26/26 green, so the
-thread-compile is not sufficient; some accumulated state is.
+RESOLVED 2026-08-19: the "accumulated suite state" was the process MAPPING
+COUNT — every XLA:CPU executable stays ORC-JIT-loaded as ~20+ anonymous
+mappings, the suite's thousands of distinct compiles crossed the kernel's
+`vm.max_map_count` cap (65530; a hung run held 64,458 maps with 120 GB RAM
+free), and mmap's ENOMEM surfaced as "LLVM compilation error: Cannot
+allocate memory" followed by a deadlock or a SIGSEGV in whatever allocated
+next (`backend_compile_and_load`, the compile-cache zstd writer). The
+batcher thread was incidental — it merely issued the straw compile. Fix:
+conftest's per-test map-count guard (utils/profiling.host_map_count +
+jax.clear_caches above 40k; tests/test_map_guard.py). This tool is kept as
+the generic accumulate-state-then-compile-from-a-thread harness; enough
+--executables to cross the cap (watch `wc -l /proc/<pid>/maps`) should
+reproduce the ENOMEM path.
+
+Original symptom, for the record: a single `pytest tests/` process died at
+~96% with a native SIGSEGV inside `backend_compile_and_load` — the first
+XLA compile issued from a non-main thread (serve.py's MicroBatcher
+resolving the duration predictor) after ~25 min of accumulated suite state;
+test_serve alone was 26/26 green.
 
 This script builds candidate states cheaply and then compiles from a fresh
 thread, so hypotheses can be bisected in minutes instead of 25-minute suite

@@ -90,8 +90,22 @@ def main() -> None:
         batches = [int(b) for b in args.sweep.split(",")]
         modes = [args.w8a8] if not args.both else [False, True]
         for w8a8 in modes:
+            points = []
             for b in batches:
-                print(json.dumps(measure(b, w8a8)), flush=True)
+                r = measure(b, w8a8)
+                points.append(r)
+                print(json.dumps(r), flush=True)
+            # knee = smallest batch achieving >=90% of the sweep's best
+            # utt/s — past it, extra batch buys latency, not throughput
+            best = max(p["value"] for p in points)
+            knee = next(p for p in points if p["value"] >= 0.9 * best)
+            print(json.dumps({
+                "metric": "throughput_knee" + ("_w8a8" if w8a8 else ""),
+                "batch": knee["batch"],
+                "value": knee["value"],
+                "unit": "utt/s",
+                "note": "smallest batch within 10% of peak utt/s",
+            }), flush=True)
         return
 
     print(json.dumps(measure(args.batch, args.w8a8)))
