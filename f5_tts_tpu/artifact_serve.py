@@ -171,13 +171,24 @@ class ArtifactSampler:
     def warmup(self) -> None:
         """Run every artifact once on silence so the first real request never
         pays the artifact's (fast, but not free) AOT program compile —
-        the same role serve.py's --warmup plays for jit shapes."""
+        the same role serve.py's --warmup plays for jit shapes. Also compiles
+        the reference-mel jit at every (batch, window) shape synthesize_chunk
+        feeds it: the mel is NOT part of the artifact program, and an unwarmed
+        batch-N mel was measured costing the FIRST concurrent group a
+        multi-second mid-request compile (2026-08-19, the artifact-bench
+        0.5x regression)."""
         import time
 
+        hop = self.audio_cfg.hop_length
         for b in self.buckets:
             t0 = time.time()
             with self._device_lock:
+                from f5_tts_tpu.utils.profiling import device_sync
+
                 bb = b.spec.batch
+                L = b.spec.padded_len
+                # the group path's exact mel shape: [batch, window * hop]
+                device_sync(self._mel(np.zeros((bb, L * hop), np.float32)))
                 cond = np.zeros((bb, 4, self.spec.mel_dim), np.float32)
                 text = np.full((bb, 4), -1, np.int32)
                 args = prep_inputs(b.spec, cond, text, b.spec.padded_len, seed=0)
@@ -188,7 +199,12 @@ class ArtifactSampler:
         if self.duration is not None:
             t0 = time.time()
             with self._device_lock:
+                from f5_tts_tpu.utils.profiling import device_sync
+
                 d = self.duration.spec
+                # the predictor path's mel window (_predict_duration_frames)
+                device_sync(self._mel(
+                    np.zeros((1, d.padded_len * hop), np.float32)))
                 args = prep_duration_inputs(
                     d, np.zeros((1, 4, d.mel_dim), np.float32),
                     np.full((1, 4), -1, np.int32))
@@ -224,7 +240,7 @@ class ArtifactSampler:
         if text_ids is None:
             text_ids = self.tokenize([ref_text + " " + text])
         with self._device_lock:
-            cond = np.asarray(self._mel(buf), np.float32)[:, :ref_frames]
+            cond = self._mel(buf)[:, :ref_frames]  # stays on device
             args = prep_duration_inputs(
                 d, cond, text_ids, lens=np.array([ref_frames], np.int32)
             )
@@ -335,8 +351,10 @@ class ArtifactSampler:
             # mel over the bucket's FIXED window (zero-padded), so the mel
             # jit compiles once per (batch, bucket) instead of once per
             # distinct reference length; frames past each item's lens are
-            # masked inside the program (same pattern as serve._padded_refs)
-            cond = np.asarray(self._mel(ref_buf), np.float32)[:, :L]
+            # masked inside the program (same pattern as serve._padded_refs).
+            # The mel STAYS a device array: prep_inputs pads it in place on
+            # the accelerator instead of a host readback + re-upload
+            cond = self._mel(ref_buf)[:, :L]
             args = prep_inputs(
                 art.spec, cond, text_mat, durs, lens=lens,
                 sway_sampling_coef=sway_sampling_coef, seed=seed,

@@ -470,7 +470,9 @@ def prep_inputs(
     positional argument tuple for `Exported.call`, plus nothing host-state —
     tokenization happens upstream (`utils/tokenizer.py`; ids, not strings,
     are the device contract)."""
-    cond_mel = np.asarray(cond_mel, np.float32)
+    on_device = isinstance(cond_mel, jax.Array)
+    if not on_device:
+        cond_mel = np.asarray(cond_mel, np.float32)
     b, n, d = cond_mel.shape
     if (b, d) != (spec.batch, spec.mel_dim) or n > spec.padded_len:
         raise ValueError(
@@ -502,8 +504,16 @@ def prep_inputs(
             f"max duration {max_dur} exceeds artifact bucket {spec.padded_len}"
         )
 
-    cond = np.zeros((b, spec.padded_len, d), np.float32)
-    cond[:, :n] = cond_mel
+    if on_device:
+        # a mel that is ALREADY a device array (artifact_serve computes it on
+        # the accelerator) stays there: padding via one device op instead of
+        # a host readback + re-upload (~2x the cond bytes through the tunnel
+        # per group, measured as part of the 2026-08-19 artifact-bench gap)
+        cond = jnp.pad(cond_mel.astype(jnp.float32),
+                       ((0, 0), (0, spec.padded_len - n), (0, 0)))
+    else:
+        cond = np.zeros((b, spec.padded_len, d), np.float32)
+        cond[:, :n] = cond_mel
     text = np.full((b, spec.padded_len), -1, np.int32)
     ncopy = min(text_np.shape[1], spec.padded_len)
     text[:, :ncopy] = text_np[:, :ncopy]
@@ -682,7 +692,9 @@ def prep_duration_inputs(
     A reference longer than the window must be truncated by the CALLER
     (predicting from a prefix is the predictor's training task); text longer
     than the window cannot be truncated meaningfully and raises."""
-    cond_mel = np.asarray(cond_mel, np.float32)
+    on_device = isinstance(cond_mel, jax.Array)
+    if not on_device:
+        cond_mel = np.asarray(cond_mel, np.float32)
     b, n, d = cond_mel.shape
     if (b, d) != (spec.batch, spec.mel_dim) or n > spec.padded_len:
         raise ValueError(
@@ -704,8 +716,13 @@ def prep_duration_inputs(
             f"artifact's window ({spec.padded_len}); pass an explicit "
             "duration or export a larger --padded-len"
         )
-    cond = np.zeros((b, spec.padded_len, d), np.float32)
-    cond[:, :n] = cond_mel
+    if on_device:
+        # same device-resident path as prep_inputs: no host round trip
+        cond = jnp.pad(cond_mel.astype(jnp.float32),
+                       ((0, 0), (0, spec.padded_len - n), (0, 0)))
+    else:
+        cond = np.zeros((b, spec.padded_len, d), np.float32)
+        cond[:, :n] = cond_mel
     text = np.full((b, spec.padded_len), -1, np.int32)
     ncopy = min(text_np.shape[1], spec.padded_len)
     text[:, :ncopy] = text_np[:, :ncopy]

@@ -411,3 +411,24 @@ def test_reserved_extra_meta_rejected(tiny_model, tmp_path):
     with pytest.raises(ValueError, match="reserved"):
         E.save_sampler(exp, tmp_path / "x.bin", model=tiny_model,
                        extra_meta={"weights": []})
+
+
+def test_prep_inputs_device_array_cond_matches_numpy(tiny_model, tmp_path):
+    """A cond mel that is already a jax device array takes the no-host-round-
+    trip path in prep_inputs (device-side pad) and must produce bit-identical
+    outputs to the numpy path — artifact_serve feeds the device mel directly
+    since the 2026-08-19 artifact-bench fix."""
+    exp = E.export_sampler(tiny_model, batch=2, steps=2, method="euler")
+    path = tmp_path / "s.bin"
+    E.save_sampler(exp, path, model=tiny_model)
+    s, spec = E.load_sampler(path)
+
+    cond, text = _inputs()
+    args_np = E.prep_inputs(spec, cond, text, 48, seed=3)
+    args_dev = E.prep_inputs(spec, jnp.asarray(cond), text, 48, seed=3)
+    assert isinstance(args_dev[0], jax.Array)
+    np.testing.assert_array_equal(np.asarray(args_dev[0]), args_np[0])
+
+    out_np = s.call(*args_np)
+    out_dev = s.call(*args_dev)
+    np.testing.assert_array_equal(np.asarray(out_np[1]), np.asarray(out_dev[1]))

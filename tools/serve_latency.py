@@ -85,49 +85,62 @@ def artifact_bench(seconds: float = 7.0, n_requests: int = 8) -> None:
         sr = model.audio_cfg.sample_rate
         ref = (0.1 * np.sin(2 * np.pi * 220 * np.arange(2 * sr) / sr)
                ).astype(np.float32)
-        httpd = serve_artifacts(
-            paths, default_ref=(ref, "a throughput probe reference"),
-            host="127.0.0.1", port=0, max_wait_ms=100.0,
-        )
-        port = httpd.server_address[1]
-        threading.Thread(target=httpd.serve_forever, daemon=True).start()
-        httpd.sampler.warmup()
-
         payload = {"text": "an artifact serving throughput probe request",
                    "duration": seconds, "seed": 0}
 
-        def one(i=None):
-            with post(port, payload) as r:
-                r.read()
+        # two server configurations from the same exports: batch-1-only is
+        # the control (no grouping possible), b1+b4 is the micro-batched
+        # deployment — the delta isolates what the batch-N artifact buys
+        # from what single-core HTTP thread contention costs
+        seq = None
+        for label, art_paths in (("b1only", paths[:1]), ("b1b4", paths)):
+            httpd = serve_artifacts(
+                art_paths, default_ref=(ref, "a throughput probe reference"),
+                host="127.0.0.1", port=0, max_wait_ms=100.0,
+            )
+            port = httpd.server_address[1]
+            threading.Thread(target=httpd.serve_forever, daemon=True).start()
+            httpd.sampler.warmup()
+            group_sizes = []
+            orig_run = httpd.batcher._run_group
+            httpd.batcher._run_group = (
+                lambda g, _o=orig_run: (group_sizes.append(len(g)), _o(g))[1])
 
-        one()  # residual warm (mel shapes etc.)
-        t0 = time.perf_counter()
-        for i in range(n_requests):
-            one()
-        seq = time.perf_counter() - t0
+            def one(i=None):
+                with post(port, payload) as r:
+                    r.read()
 
-        threads = [threading.Thread(target=one, args=(i,))
-                   for i in range(n_requests)]
-        t0 = time.perf_counter()
-        for t in threads:
-            t.start()
-        for t in threads:
-            t.join(timeout=600)
-        conc = time.perf_counter() - t0
+            one()  # residual warm (mel shapes etc.)
+            if seq is None:  # grouping can't help a serial client; time once
+                t0 = time.perf_counter()
+                for i in range(n_requests):
+                    one()
+                seq = time.perf_counter() - t0
+                print(json.dumps({
+                    "metric": "artifact_throughput_sequential_utt_s",
+                    "value": round(n_requests / seq, 3),
+                    "total_s": round(seq, 3),
+                }))
+                group_sizes.clear()
 
-        print(json.dumps({
-            "metric": "artifact_throughput_sequential_utt_s",
-            "value": round(n_requests / seq, 3),
-            "total_s": round(seq, 3),
-        }))
-        print(json.dumps({
-            "metric": "artifact_throughput_concurrent_utt_s",
-            "value": round(n_requests / conc, 3),
-            "total_s": round(conc, 3),
-            "speedup_vs_sequential": round(seq / conc, 2),
-        }))
-        httpd.batcher.stop()
-        httpd.shutdown()
+            threads = [threading.Thread(target=one, args=(i,))
+                       for i in range(n_requests)]
+            t0 = time.perf_counter()
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join(timeout=600)
+            conc = time.perf_counter() - t0
+
+            print(json.dumps({
+                "metric": f"artifact_throughput_concurrent_{label}_utt_s",
+                "value": round(n_requests / conc, 3),
+                "total_s": round(conc, 3),
+                "speedup_vs_sequential": round(seq / conc, 2),
+                "group_sizes": group_sizes,
+            }))
+            httpd.batcher.stop()
+            httpd.shutdown()
 
 
 def main() -> None:
