@@ -68,7 +68,10 @@ def artifact_bench(seconds: float = 7.0, n_requests: int = 8) -> None:
     model = _build_model()
     frames = int(seconds * model.audio_cfg.frames_per_second)
     bucket = model.cfm_cfg.duration_bucket
-    padded = -(-frames // bucket) * bucket + bucket  # headroom past the clamp
+    # the SAME bucket the live path would jit for this request (the 2 s ref
+    # keeps lens+1 well under it) — an oversized window inflates every call
+    # by padded/needed FLOPs on a compute-bound chip
+    padded = -(-frames // bucket) * bucket
     tmp_base = "/dev/shm" if os.path.isdir("/dev/shm") else None
     with tempfile.TemporaryDirectory(dir=tmp_base) as tmp:
         paths = []
