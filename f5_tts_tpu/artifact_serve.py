@@ -23,7 +23,7 @@ endpoint contract as serve.py's).
 Requests pick the smallest bucket LENGTH that fits their clamped duration,
 exactly like the live jit cache keys shapes; within a length, the scheduler
 fills the batch-size variant that best fits the group (padding unused slots
-with copies of the first item — per-item masking makes slots independent,
+with copies of the last item — per-item masking makes slots independent,
 `models/cfm.cfm_sample_e2e` masks cond/attention by each item's lens/
 duration). `duration` is client-supplied seconds; requests that omit it
 resolve through the trained duration predictor when a `--duration-artifact`
@@ -46,6 +46,7 @@ from dataclasses import dataclass
 from http.server import ThreadingHTTPServer
 from types import SimpleNamespace
 
+import jax.numpy as jnp
 import numpy as np
 
 from f5_tts_tpu.export import (
@@ -170,45 +171,32 @@ class ArtifactSampler:
 
     def warmup(self) -> None:
         """Run every artifact once on silence so the first real request never
-        pays the artifact's (fast, but not free) AOT program compile —
-        the same role serve.py's --warmup plays for jit shapes. Also compiles
-        the reference-mel jit at every (batch, window) shape synthesize_chunk
-        feeds it: the mel is NOT part of the artifact program, and an unwarmed
+        pays the artifact's (fast, but not free) AOT program compile — the
+        same role serve.py's --warmup plays for jit shapes. Warming goes
+        through synthesize_chunk / _predict_duration_frames themselves, so it
+        compiles EVERY eager device op on the request path (the mel jit at
+        each (batch, window) shape, the fixed-window slice, prep's device-side
+        astype/pad, the predictor's runtime-valued ref mask) — an unwarmed
         batch-N mel was measured costing the FIRST concurrent group a
         multi-second mid-request compile (2026-08-19, the artifact-bench
-        0.5x regression)."""
+        0.5x regression), and a host-array warmup missed the device-side ops."""
         import time
 
         hop = self.audio_cfg.hop_length
+        silence = np.zeros(4 * hop, np.float32)
+        pad_ids = np.full((4,), -1, np.int32)
         for b in self.buckets:
             t0 = time.time()
-            with self._device_lock:
-                from f5_tts_tpu.utils.profiling import device_sync
-
-                bb = b.spec.batch
-                L = b.spec.padded_len
-                # the group path's exact mel shape: [batch, window * hop]
-                device_sync(self._mel(np.zeros((bb, L * hop), np.float32)))
-                cond = np.zeros((bb, 4, self.spec.mel_dim), np.float32)
-                text = np.full((bb, 4), -1, np.int32)
-                args = prep_inputs(b.spec, cond, text, b.spec.padded_len, seed=0)
-                out = b.sampler.call(*args)
-                np.asarray(out[1] if isinstance(out, (tuple, list)) else out)
+            bb = b.spec.batch
+            self.synthesize_chunk(
+                b, [pad_ids] * bb, [silence] * bb, [8] * bb,
+                sway_sampling_coef=-1.0, seed=0,
+            )
             print(f"warmed {b.path} (bucket {b.spec.padded_len} x{bb}): "
                   f"{time.time() - t0:.1f}s")
         if self.duration is not None:
             t0 = time.time()
-            with self._device_lock:
-                from f5_tts_tpu.utils.profiling import device_sync
-
-                d = self.duration.spec
-                # the predictor path's mel window (_predict_duration_frames)
-                device_sync(self._mel(
-                    np.zeros((1, d.padded_len * hop), np.float32)))
-                args = prep_duration_inputs(
-                    d, np.zeros((1, 4, d.mel_dim), np.float32),
-                    np.full((1, 4), -1, np.int32))
-                np.asarray(self.duration.sampler.call(*args))
+            self._predict_duration_frames(silence, "", "warm up", 1.0)
             print(f"warmed {self.duration.path} (duration predictor): "
                   f"{time.time() - t0:.1f}s")
 
@@ -240,7 +228,17 @@ class ArtifactSampler:
         if text_ids is None:
             text_ids = self.tokenize([ref_text + " " + text])
         with self._device_lock:
-            cond = self._mel(buf)[:, :ref_frames]  # stays on device
+            # mel over the predictor's FIXED window, then zero frames past the
+            # reference with a RUNTIME-valued comparison (the bound rides in as
+            # a device scalar, not a Python int baked into the program): every
+            # reference length reuses ONE executable — a per-length device
+            # slice here compiled a fresh program per novel ref length at
+            # request time, each staying ORC-JIT-mapped for the process's life
+            mel = self._mel(buf)[:, : d.padded_len]  # stays on device
+            idx = jnp.arange(mel.shape[1], dtype=jnp.int32)[None, :, None]
+            cond = jnp.where(
+                idx < jnp.asarray(ref_frames, jnp.int32), mel, 0.0
+            )
             args = prep_duration_inputs(
                 d, cond, text_ids, lens=np.array([ref_frames], np.int32)
             )
@@ -317,7 +315,7 @@ class ArtifactSampler:
     ) -> list[np.ndarray]:
         """Up to art.spec.batch requests -> one device call -> per-item
         generated-region waves (ref region trimmed, serve.py's frame-quantized
-        trimming). Unused batch slots are filled with copies of item 0: the
+        trimming). Unused batch slots are filled with copies of the LAST item: the
         program masks conditioning and attention per item by lens/duration
         (models/cfm.cfm_sample_e2e:220-252), so slots are independent and the
         padding only burns the fixed FLOPs the artifact's shape costs anyway."""
@@ -448,8 +446,8 @@ class ArtifactBatcher(MicroBatcher):
         if r.bucket_len is None and r.duration_frames is not None:
             # directly-submitted request with an explicit duration: plan the
             # bucket here (never raise out of the scheduler — an unservable
-            # request fails its own future and drains through _run_group's
-            # InvalidStateError handling)
+            # request fails its own future and keys into the dead-request
+            # group below, which _run_group drains as a no-op)
             try:
                 if r.text_ids is None:
                     r.text_ids = np.asarray(
@@ -463,13 +461,24 @@ class ArtifactBatcher(MicroBatcher):
             except Exception as e:
                 if not r.future.done():
                     r.future.set_exception(e)
+        if r.bucket_len is None:
+            # planning failed (future already carries the exception): bucket 0
+            # keeps the scheduler's key[5]*key[0] cost arithmetic numeric and
+            # partitions dead requests away from live groups
+            return (1, "", 0.0, r.sway, r.seed, 0, r.stream_rank)
         return (1, "", 0.0, r.sway, r.seed, r.bucket_len, r.stream_rank)
 
     def _run_group(self, group: list[_Request]) -> None:
         try:
+            # drop requests whose future already settled (failed during
+            # planning in _group_key, cancelled, expired): a dead-request
+            # group (bucket 0) must drain as a no-op, never reach the device
+            live = [r for r in group if not r.future.done()]
+            if not live:
+                return
             s = self.sampler
-            length = group[0].bucket_len
-            remaining = list(group)
+            length = live[0].bucket_len
+            remaining = list(live)
             while remaining:
                 art = s.pick_artifact(length, len(remaining))
                 chunk = remaining[: art.spec.batch]
@@ -711,11 +720,15 @@ def make_handler(batcher: ArtifactBatcher, default_ref, allow_resample=False):
                 # status line is already out — truncate the stream so the
                 # client sees a hard error rather than silent-complete audio;
                 # log it server-side (the truncation alone is undiagnosable)
+                # and cancel the sentences still queued so the batcher stops
+                # synthesizing for a dead connection
                 import sys
                 import traceback
 
                 print("mid-stream synthesis failed:", file=sys.stderr)
                 traceback.print_exc()
+                for f in futures:
+                    f.cancel()
                 self.close_connection = True
                 return
             self.wfile.write(b"0\r\n\r\n")

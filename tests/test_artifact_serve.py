@@ -474,3 +474,38 @@ def test_stream_sentences_batch_through_backfill_group(batched_artifacts, ref):
     finally:
         httpd.batcher.stop()
         httpd.shutdown()
+
+
+def test_unservable_direct_request_fails_without_killing_batcher(
+        artifacts, ref):
+    """A directly-submitted request (library caller, no HTTP pre-planning)
+    whose explicit duration exceeds every exported bucket must fail its OWN
+    future — and the batcher thread must survive to serve the next request.
+    Regression: _group_key used to leave bucket_len=None in the scheduler
+    key, and the base scheduler's cost arithmetic (key[5]*key[0]) raised
+    TypeError out of the batcher thread, hanging every later request."""
+    from f5_tts_tpu.artifact_serve import ArtifactBatcher
+    from f5_tts_tpu.serve import _Request
+
+    sampler = ArtifactSampler(artifacts)
+    batcher = ArtifactBatcher(sampler, max_wait_ms=10.0)
+    batcher.start()
+    try:
+        bad = _Request(
+            text="too long", ref_audio=ref, ref_text="ref words",
+            duration_frames=10_000,  # no bucket holds this
+            steps=2, method="euler", cfg_strength=2.0, sway=-1.0, seed=0,
+        )
+        fut = batcher.submit(bad)
+        with pytest.raises(ValueError):
+            fut.result(timeout=60)
+
+        good = _Request(
+            text="short", ref_audio=ref, ref_text="ref words",
+            duration_frames=40, steps=2, method="euler",
+            cfg_strength=2.0, sway=-1.0, seed=0,
+        )
+        wave = batcher.submit(good).result(timeout=60)
+        assert wave.ndim == 1 and wave.size > 0
+    finally:
+        batcher.stop()

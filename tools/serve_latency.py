@@ -111,13 +111,22 @@ def artifact_bench(seconds: float = 7.0, n_requests: int = 8) -> None:
 
             def one(i=None):
                 with post(port, payload) as r:
-                    r.read()
+                    body = r.read()
+                    if r.status != 200:
+                        raise RuntimeError(
+                            f"request {i}: HTTP {r.status} {body[:200]!r}")
+
+            def worker(i, errors):
+                try:
+                    one(i)
+                except Exception as e:  # record — a silently dead thread
+                    errors.append(e)   # would inflate the throughput number
 
             one()  # residual warm (mel shapes etc.)
             if seq is None:  # grouping can't help a serial client; time once
                 t0 = time.perf_counter()
                 for i in range(n_requests):
-                    one()
+                    one(i)
                 seq = time.perf_counter() - t0
                 print(json.dumps({
                     "metric": "artifact_throughput_sequential_utt_s",
@@ -126,7 +135,8 @@ def artifact_bench(seconds: float = 7.0, n_requests: int = 8) -> None:
                 }))
                 group_sizes.clear()
 
-            threads = [threading.Thread(target=one, args=(i,))
+            errors: list[Exception] = []
+            threads = [threading.Thread(target=worker, args=(i, errors))
                        for i in range(n_requests)]
             t0 = time.perf_counter()
             for t in threads:
@@ -134,6 +144,12 @@ def artifact_bench(seconds: float = 7.0, n_requests: int = 8) -> None:
             for t in threads:
                 t.join(timeout=600)
             conc = time.perf_counter() - t0
+            hung = [t for t in threads if t.is_alive()]
+            if errors or hung:
+                raise RuntimeError(
+                    f"{label}: {len(errors)} failed, {len(hung)} hung of "
+                    f"{n_requests} requests — throughput not recorded; "
+                    f"first error: {errors[0] if errors else 'join timeout'}")
 
             print(json.dumps({
                 "metric": f"artifact_throughput_concurrent_{label}_utt_s",

@@ -97,8 +97,10 @@ def main() -> None:
                 print(json.dumps(r), flush=True)
             # knee = smallest batch achieving >=90% of the sweep's best
             # utt/s — past it, extra batch buys latency, not throughput
+            # (sort by batch so an unordered --sweep list can't mislabel it)
             best = max(p["value"] for p in points)
-            knee = next(p for p in points if p["value"] >= 0.9 * best)
+            knee = next(p for p in sorted(points, key=lambda p: p["batch"])
+                        if p["value"] >= 0.9 * best)
             print(json.dumps({
                 "metric": "throughput_knee" + ("_w8a8" if w8a8 else ""),
                 "batch": knee["batch"],
