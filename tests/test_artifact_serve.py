@@ -509,3 +509,43 @@ def test_unservable_direct_request_fails_without_killing_batcher(
         assert wave.ndim == 1 and wave.size > 0
     finally:
         batcher.stop()
+
+
+def test_cancelled_requests_never_reach_device(artifacts, ref):
+    """Cancelling queued futures stops their synthesis: the scheduler drops
+    settled futures before grouping and _run_group re-filters at dispatch.
+    This is the contract the stream handler relies on when a mid-stream
+    failure cancels the sentences still queued for a dead connection."""
+    from f5_tts_tpu.artifact_serve import ArtifactBatcher
+    from f5_tts_tpu.serve import _Request
+
+    sampler = ArtifactSampler(artifacts)
+    calls = []
+    orig = sampler.synthesize_chunk
+
+    def counting(art, ids, refs, durs, **kw):
+        calls.append(len(ids))
+        return orig(art, ids, refs, durs, **kw)
+
+    sampler.synthesize_chunk = counting
+    batcher = ArtifactBatcher(sampler, max_wait_ms=500.0)
+    batcher.start()
+    try:
+        reqs = [
+            _Request(text=f"t {i}", ref_audio=ref, ref_text="ref words",
+                     duration_frames=40, steps=2, method="euler",
+                     cfg_strength=2.0, sway=-1.0, seed=0)
+            for i in range(3)
+        ]
+        futs = [batcher.submit(r) for r in reqs]
+        # cancel two while all three sit in the 500 ms gather window (skip
+        # rather than flake if a starved box let the batcher win the race)
+        if not (futs[1].cancel() and futs[2].cancel()):
+            pytest.skip("batcher dispatched before cancel (loaded host)")
+        wave = futs[0].result(timeout=60)
+        assert wave.ndim == 1
+        # only the live request reached the device (batch-1 artifacts: one
+        # chunk per surviving request)
+        assert sum(calls) == 1, calls
+    finally:
+        batcher.stop()
