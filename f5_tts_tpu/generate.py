@@ -41,9 +41,15 @@ DEFAULT_REF_TEXT = "Some call me nature, others call me mother nature."
 
 def split_sentences(text: str) -> list[str]:
     """Split on sentence-final punctuation, keeping the delimiter
-    (reference: generate.py:30-36)."""
+    (reference: generate.py:30-36). Divergence: a trailing fragment with no
+    final punctuation is kept as its own sentence — the reference's pairwise
+    join drops it, which its single-sentence fallback masks, but the
+    streaming/batched multi-sentence surfaces here would silently truncate
+    the user's last clause from the audio."""
     parts = re.compile(r"([.!?;:])").split(text)
     sentences = [parts[i] + parts[i + 1] for i in range(0, len(parts) - 1, 2)]
+    if len(parts) % 2 == 1 and parts[-1].strip():
+        sentences.append(parts[-1])
     return [s.strip() for s in sentences if s.strip()]
 
 
@@ -122,8 +128,12 @@ class AudioPlayer:
     def queue_audio(self, samples) -> None:
         samples = np.asarray(samples, np.float32).reshape(-1)
         if samples.size:
-            self.drain_event.clear()
             with self._cursor_lock:
+                # clear INSIDE the lock: cleared outside, the callback could
+                # observe rd == wr and set the event between our clear and our
+                # write, leaving it set with pending audio — wait_for_drain
+                # would then return early and stop() truncate the tail
+                self.drain_event.clear()
                 self._reserve(samples.size)
                 cap = self._ring.size
                 at = self._wr % cap
@@ -288,7 +298,7 @@ def generate(
     print(f"Got reference audio with duration: {ref_audio_duration:.2f} seconds")
 
     rms = float(np.sqrt(np.mean(np.square(audio))))
-    if rms < TARGET_RMS:
+    if 0 < rms < TARGET_RMS:  # 0: an all-silent ref must not divide to NaN
         audio = audio * TARGET_RMS / rms
 
     sentences = split_sentences(generation_text)

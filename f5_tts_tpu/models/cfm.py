@@ -667,6 +667,18 @@ class F5TTS:
         # static-shape bucketing: pad to a multiple of duration_bucket frames
         bucket = self.cfm_cfg.duration_bucket
         padded_len = max(bucket, math.ceil(max_dur / bucket) * bucket)
+        if int(lens_np.max()) >= padded_len:
+            # a reference longer than the max_duration-clamped window cannot
+            # be conditioned on: silently truncating it would leave zero
+            # generated frames (duration <= lens), and the segmented-CFG
+            # path's negative pad would crash mid-jit with a shape error
+            raise ValueError(
+                f"reference audio ({int(lens_np.max())} frames) does not fit "
+                f"the max_duration window ({max_duration} frames, "
+                f"{max_duration / self.audio_cfg.frames_per_second:.1f}s "
+                "including the generated region); pass a shorter reference "
+                "clip or raise max_duration"
+            )
 
         # pad text ids to the padded mel length host-side so jit sees one shape
         text_ids = np.full((batch, padded_len), -1, dtype=np.int32)

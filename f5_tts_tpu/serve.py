@@ -175,6 +175,11 @@ class JsonHTTPHandler(BaseHTTPRequestHandler):
                 self._json_error(
                     413, f"request body exceeds {MAX_BODY_BYTES} bytes")
                 return None
+            if length < 0:
+                # rfile.read(-1) would read until EOF — an unbounded
+                # client-controlled buffer that bypasses the body cap
+                self._json_error(400, "invalid Content-Length")
+                return None
             return json.loads(self.rfile.read(length) or b"{}")
         except (ValueError, json.JSONDecodeError):
             self._json_error(400, "invalid JSON body")
@@ -404,10 +409,14 @@ class MicroBatcher(threading.Thread):
             key, reqs = kv
             rank = key[6]
             # aging: a group past the starvation bound outranks EVERYTHING
-            # (rank -1), so rank-1 backfill makes progress even when a new
-            # rank-0 group arrives during every run
-            if rank > 0 and now - min(r.t_submit for r in reqs) > self.starvation_s:
-                rank = -1
+            # (rank -1) — ANY rank: rank-1 backfill would starve under
+            # sustained rank-0 arrivals, and a long rank-0 request would
+            # starve under sustained SHORT rank-0 arrivals (shortest-job-
+            # first picks the cheaper bucket every step). Among aged groups,
+            # oldest-first so the longest-waiting one finally runs.
+            waited = now - min(r.t_submit for r in reqs)
+            if waited > self.starvation_s:
+                return (-1, -waited)
             return (rank, key[5] * key[0] * min(len(reqs), self.max_batch))
 
         key, group = min(groups.items(), key=priority)
@@ -662,23 +671,39 @@ def make_handler(batcher: MicroBatcher, default_ref: tuple[np.ndarray, str],
                 return None
 
         def _build_request(self, payload, text, ref_audio, ref_text, dur_frames):
-            req = _Request(
-                text=text,
-                ref_audio=ref_audio,
-                ref_text=ref_text,
-                duration_frames=dur_frames,
-                steps=int(payload.get("steps", 8)),
-                method=str(payload.get("method", "rk4")),
-                cfg_strength=float(payload.get("cfg_strength", 2.0)),
-                sway=float(payload.get("sway_sampling_coef", -1.0)),
-                seed=payload.get("seed"),
-                speed=float(payload.get("speed", 1.0)),
-            )
+            try:
+                seed = payload.get("seed")
+                req = _Request(
+                    text=text,
+                    ref_audio=ref_audio,
+                    ref_text=ref_text,
+                    duration_frames=dur_frames,
+                    steps=int(payload.get("steps", 8)),
+                    method=str(payload.get("method", "rk4")),
+                    cfg_strength=float(payload.get("cfg_strength", 2.0)),
+                    sway=float(payload.get("sway_sampling_coef", -1.0)),
+                    seed=None if seed is None else int(seed),
+                    speed=float(payload.get("speed", 1.0)),
+                )
+            except (TypeError, ValueError) as e:
+                # a client-fixable input, not a server failure: a bad numeric
+                # would otherwise surface as 500 from the generic handler (or,
+                # for seed, fail the whole group inside the batcher)
+                self._json_error(400, f"bad parameter: {e}")
+                return None
             if req.method not in ("euler", "midpoint", "rk4"):
                 self._json_error(400, f"unknown method: {req.method}")
                 return None
             if not (req.speed > 0):
                 self._json_error(400, "speed must be > 0")
+                return None
+            if not (1 <= req.steps <= 256):
+                self._json_error(400, "steps must be in [1, 256]")
+                return None
+            import math
+
+            if not (math.isfinite(req.cfg_strength) and math.isfinite(req.sway)):
+                self._json_error(400, "cfg_strength/sway must be finite")
                 return None
             return req
 
@@ -693,7 +718,11 @@ def make_handler(batcher: MicroBatcher, default_ref: tuple[np.ndarray, str],
             the heuristic scales only the generated portion
             (reference generate.py:104-111)."""
             if payload.get("duration") is not None:
-                return int(float(payload["duration"]) * acfg.frames_per_second)
+                try:
+                    seconds = float(payload["duration"])
+                except (TypeError, ValueError) as e:
+                    raise BadRequest(f"bad duration: {e}") from None
+                return int(seconds * acfg.frames_per_second)
             if payload.get("estimate_duration"):
                 return int(
                     estimated_duration(ref_audio, ref_text, text,
@@ -744,6 +773,8 @@ def make_handler(batcher: MicroBatcher, default_ref: tuple[np.ndarray, str],
                 self.send_header("Content-Length", str(len(body)))
                 self.end_headers()
                 self.wfile.write(body)
+            except BadRequest as e:
+                self._json_error(400, str(e))
             except Overloaded:
                 self._overloaded()
             except (TimeoutError, FuturesTimeoutError):
@@ -801,6 +832,8 @@ def make_handler(batcher: MicroBatcher, default_ref: tuple[np.ndarray, str],
                     for f in futures:
                         f.cancel()
                     return self._overloaded()
+            except BadRequest as e:
+                return self._json_error(400, str(e))
             except Exception as e:
                 return self._json_error(500, f"synthesis failed: {e}")
 
@@ -823,11 +856,15 @@ def make_handler(batcher: MicroBatcher, default_ref: tuple[np.ndarray, str],
                 # status line is already out — truncate the stream so the
                 # client sees a hard error rather than silent-complete audio;
                 # log it server-side (the truncation alone is undiagnosable)
+                # and cancel the sentences still queued so the batcher stops
+                # synthesizing for a dead connection
                 import sys
                 import traceback
 
                 print("mid-stream synthesis failed:", file=sys.stderr)
                 traceback.print_exc()
+                for f in futures:
+                    f.cancel()
                 self.close_connection = True
                 return
             self.wfile.write(b"0\r\n\r\n")

@@ -113,6 +113,20 @@ def test_sample_duration_clamps(model):
     assert out2.shape[1] == 64
 
 
+def test_sample_rejects_ref_longer_than_max_duration(model):
+    """A reference that cannot fit the max_duration-clamped window raises a
+    clear ValueError instead of silently truncating the conditioning (fused
+    path: zero generated frames) or crashing on a negative pad (segmented-CFG
+    path)."""
+    cond = jax.random.normal(jax.random.key(9), (1, 200, 100))
+    with pytest.raises(ValueError, match="max_duration"):
+        model.sample(cond, ["a"], duration=64, steps=2, method="euler",
+                     seed=0, max_duration=128)
+    with pytest.raises(ValueError, match="max_duration"):
+        model.sample(cond, ["a"], duration=64, steps=2, method="euler",
+                     seed=0, max_duration=128, cfg_interval=(0.0, 1.0))
+
+
 def test_sample_cfg_zero_single_pass(model):
     cond = jax.random.normal(jax.random.key(8), (1, 16, 100))
     out, _ = model.sample(cond, ["a"], duration=32, steps=2, method="euler", seed=0, cfg_strength=0.0)

@@ -15,8 +15,15 @@ from f5_tts_tpu.models.cfm import F5TTS
 def test_split_sentences():
     out = split_sentences("Hello there. How are you? Fine; thanks: bye!")
     assert out == ["Hello there.", "How are you?", "Fine;", "thanks:", "bye!"]
-    assert split_sentences("no punctuation") == []
+    # divergence from the reference splitter: an unpunctuated trailing
+    # fragment is KEPT — dropping it silently truncated the last clause from
+    # streamed/batched audio (the reference's single-sentence fallback only
+    # masks the 0-delimiter case)
+    assert split_sentences("no punctuation") == ["no punctuation"]
+    assert split_sentences("First. Second. and then some") == [
+        "First.", "Second.", "and then some"]
     assert split_sentences("") == []
+    assert split_sentences("   ") == []
 
 
 def test_estimated_duration():

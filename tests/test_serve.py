@@ -580,3 +580,55 @@ def test_map_budget_check_warns_and_clears(monkeypatch, capsys):
     # time gate: a check inside the window is a no-op even at 61k maps
     b._check_map_budget(now=100.0)
     assert capsys.readouterr().out == "" and cleared == [60_000]
+
+
+def test_aged_long_rank0_outranks_fresh_short_rank0():
+    """Anti-starvation aging applies WITHIN rank 0 too: shortest-job-first
+    alone would starve a long-duration request forever under a sustained
+    stream of short requests (each step picks the cheaper bucket); once the
+    long request passes the starvation bound it must run next."""
+    import time
+
+    model = _tiny_model_for_batcher()
+    b = _RecordingBatcher(model, max_batch=2, starvation_s=5.0)
+
+    long_old = _mk_req("long-starving", 1400, rank=0)
+    long_old.t_submit = time.monotonic() - 10.0  # past the bound
+    short_new = _mk_req("short-fresh", 100, rank=0)
+    b._step([long_old, short_new], drain=False)
+    assert [r.text for r in b.dispatched[0]] == ["long-starving"]
+
+    # un-aged: shortest-job-first still picks the cheap bucket
+    b.dispatched.clear()
+    long_young = _mk_req("long-young", 1400, rank=0)
+    short = _mk_req("short", 100, rank=0)
+    b._step([long_young, short], drain=False)
+    assert [r.text for r in b.dispatched[0]] == ["short"]
+
+
+def test_negative_content_length_rejected(server):
+    """Content-Length: -1 must 400, not rfile.read(-1) until EOF (an
+    unbounded client-controlled buffer bypassing the body cap)."""
+    import http.client
+
+    host = server.split("//")[1]
+    conn = http.client.HTTPConnection(host, timeout=30)
+    try:
+        conn.putrequest("POST", "/synthesize", skip_accept_encoding=True)
+        conn.putheader("Content-Type", "application/json")
+        conn.putheader("Content-Length", "-1")
+        conn.endheaders()
+        resp = conn.getresponse()
+        assert resp.status == 400
+    finally:
+        conn.close()
+
+
+def test_malformed_numeric_fields_return_400(server):
+    """Client-fixable numeric garbage (duration, steps, seed) is a 400 with
+    a parameter message, never a 500 from the generic handler."""
+    for field, value in (("duration", "abc"), ("steps", "many"),
+                         ("seed", "lucky"), ("cfg_strength", "strong")):
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            _post(server, {"text": "hi", field: value}, timeout=30)
+        assert exc.value.code == 400, (field, exc.value.code)
